@@ -1,0 +1,140 @@
+"""Stateless wavefront samplers.
+
+The reference's Sampler is a mutable per-pixel object with Get1D/Get2D
+state (/root/reference/core/Sampler.h:14-94).  In a wavefront renderer the
+sampler is a *pure function*  sample(pixel, sample_index, dim) -> u,  so any
+lane of any bounce kernel can evaluate any dimension with no carried state.
+Dimension assignment is static per bounce (see integrators), replacing the
+reference's sequential dimension counter.
+
+Kinds:
+  * "random":  counter-based hash RNG (replaces ClockRandSampler,
+               core/Sampler.h:107-123 — which is rand()-backed and
+               non-reproducible; ours is deterministic by construction).
+  * "halton":  scrambled Halton global sampler, pbrt semantics
+               (samplers/HaltonSampler.cpp): dims 0-1 encode the pixel via
+               CRT index offsets, dims >= 2 use digit-permuted radical
+               inverse in the dim-th prime base.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lds, rng
+
+
+class Sampler(NamedTuple):
+    """Pytree of device tables + static metadata for a sampler.
+
+    For "halton": pixel_offset is the (H*W,) uint32 table of per-pixel
+    first-sample Halton indices; stride/exponents per lds.halton_pixel_offsets.
+    """
+    kind: str  # static
+    spp: int  # static
+    seed: int  # static
+    # halton tables (None for random)
+    pixel_offset: Optional[jnp.ndarray] = None  # (H*W,) uint32
+    primes: Optional[jnp.ndarray] = None  # (1000,) int32
+    prime_sums: Optional[jnp.ndarray] = None  # (1000,) int32
+    perms: Optional[jnp.ndarray] = None  # flat int32
+    stride: int = 1
+    exp2: int = 0
+    scale3: int = 1
+
+
+def _tree_flatten(s: Sampler):
+    children = (s.pixel_offset, s.primes, s.prime_sums, s.perms)
+    aux = (s.kind, s.spp, s.seed, s.stride, s.exp2, s.scale3)
+    return children, aux
+
+
+def _tree_unflatten(aux, children):
+    kind, spp, seed, stride, exp2, scale3 = aux
+    po, pr, ps, pe = children
+    return Sampler(kind, spp, seed, po, pr, ps, pe, stride, exp2, scale3)
+
+
+jax.tree_util.register_pytree_node(Sampler, _tree_flatten, _tree_unflatten)
+
+
+def make_random_sampler(spp, seed=0):
+    return Sampler(kind="random", spp=spp, seed=seed)
+
+
+def make_halton_sampler(spp, width, height, seed=0):
+    offsets, meta = lds.halton_pixel_offsets(width, height)
+    return Sampler(
+        kind="halton",
+        spp=spp,
+        seed=seed,
+        pixel_offset=jnp.asarray(offsets.reshape(-1)),
+        primes=jnp.asarray(lds.primes()),
+        prime_sums=jnp.asarray(lds.prime_sums().astype(np.int32)),
+        perms=jnp.asarray(lds.radical_inverse_permutations()),
+        stride=meta["stride"],
+        exp2=meta["exponents"][0],
+        scale3=meta["scales"][1],
+    )
+
+
+def global_index(s: Sampler, pixel, sample):
+    """Global sample index for (pixel, sample) lanes (uint32)."""
+    if s.kind == "halton":
+        return s.pixel_offset[pixel] + sample.astype(jnp.uint32) * jnp.uint32(s.stride)
+    return sample.astype(jnp.uint32)
+
+
+def sample_dim(s: Sampler, pixel, sample, dim):
+    """Evaluate dimension `dim` (traced or static int) for each lane.
+
+    pixel: (N,) int32 flat pixel ids; sample: (N,) int32 sample index.
+    Returns (N,) float32 in [0, 1).
+    """
+    if s.kind == "random":
+        return rng.uniform_float(pixel, sample, dim, s.seed)
+    # halton
+    idx = global_index(s, pixel, sample)
+
+    def dim0():
+        return lds.radical_inverse_base2(idx >> jnp.uint32(s.exp2))
+
+    def dim1():
+        return lds.radical_inverse(3, idx // jnp.uint32(s.scale3))
+
+    def dim_hi():
+        d = jnp.clip(jnp.asarray(dim, jnp.int32), 2, 999)
+        base = s.primes[d]
+        off = s.prime_sums[d]
+        return lds.scrambled_radical_inverse(base, idx, s.perms, off)
+
+    if isinstance(dim, (int, np.integer)):
+        # static dim: pick the branch at trace time
+        return (dim0, dim1)[dim]() if dim < 2 else dim_hi()
+    # dim traced inside the bounce loop: switch on min(dim, 2)
+    branch = jnp.minimum(jnp.asarray(dim, jnp.int32), 2)
+    return jax.lax.switch(branch, [dim0, dim1, dim_hi])
+
+
+def sample_2d(s: Sampler, pixel, sample, dim):
+    return jnp.stack(
+        [sample_dim(s, pixel, sample, dim), sample_dim(s, pixel, sample, dim + 1)],
+        axis=-1,
+    )
+
+
+def camera_sample(s: Sampler, pixel, sample, width):
+    """CameraSample per reference GetCameraSample (core/Sampler.cpp:14-20):
+    dims 0-1 film jitter, dim 2 time, dims 3-4 lens.
+
+    Returns (p_film (N,2) raster coords, time (N,), p_lens (N,2)).
+    """
+    px = (pixel % width).astype(jnp.float32)
+    py = (pixel // width).astype(jnp.float32)
+    jitter = sample_2d(s, pixel, sample, 0)
+    p_film = jnp.stack([px, py], axis=-1) + jitter
+    time = sample_dim(s, pixel, sample, 2)
+    p_lens = sample_2d(s, pixel, sample, 3)
+    return p_film, time, p_lens

@@ -1,0 +1,241 @@
+"""Sampling warps, MIS heuristics, and CDF distributions as array ops.
+
+Functional equivalents of /root/reference/core/Sampling.{h,cpp}:
+  * warps (ConcentricSampleDisk, CosineSampleHemisphere, UniformSample*)
+    become pure jnp reparameterizations — these are the differentiable
+    mappings from uniform randoms to directions/points;
+  * Distribution1D/2D (CDF build + SampleContinuous/SampleDiscrete,
+    core/Sampling.h:19-126) become prefix-sum arrays + vectorized
+    searchsorted, which maps to sorted-scan primitives XLA tiles well.
+
+All functions broadcast over leading batch dims.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import INV_2PI, INV_4PI, INV_PI, ONE_MINUS_EPSILON, PI, PI_OVER_2, PI_OVER_4
+
+
+# ---------------------------------------------------------------------------
+# Warps
+# ---------------------------------------------------------------------------
+
+def uniform_sample_hemisphere(u):
+    z = u[..., 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def uniform_hemisphere_pdf():
+    return INV_2PI
+
+
+def uniform_sample_sphere(u):
+    z = 1.0 - 2.0 * u[..., 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * PI * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def uniform_sphere_pdf():
+    return INV_4PI
+
+
+def concentric_sample_disk(u):
+    """Shirley-Chiu concentric disk warp (core/Sampling.cpp semantics)."""
+    u_offset = 2.0 * u - 1.0
+    ux, uy = u_offset[..., 0], u_offset[..., 1]
+    zero = (ux == 0.0) & (uy == 0.0)
+    use_x = jnp.abs(ux) > jnp.abs(uy)
+    r = jnp.where(use_x, ux, uy)
+    # guard divisions for the degenerate origin lane
+    safe_ux = jnp.where(ux == 0.0, 1.0, ux)
+    safe_uy = jnp.where(uy == 0.0, 1.0, uy)
+    theta = jnp.where(
+        use_x,
+        PI_OVER_4 * (uy / safe_ux),
+        PI_OVER_2 - PI_OVER_4 * (ux / safe_uy),
+    )
+    p = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    return jnp.where(zero[..., None], 0.0, p)
+
+
+def cosine_sample_hemisphere(u):
+    d = concentric_sample_disk(u)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    return jnp.concatenate([d, z[..., None]], axis=-1)
+
+
+def cosine_hemisphere_pdf(cos_theta):
+    return cos_theta * INV_PI
+
+
+def uniform_sample_cone(u, cos_theta_max):
+    cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = u[..., 1] * 2.0 * PI
+    return jnp.stack(
+        [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
+    )
+
+
+def uniform_cone_pdf(cos_theta_max):
+    return 1.0 / (2.0 * PI * (1.0 - cos_theta_max))
+
+
+def uniform_sample_triangle(u):
+    """Barycentric warp (core/Sampling.cpp UniformSampleTriangle)."""
+    su0 = jnp.sqrt(u[..., 0])
+    return jnp.stack([1.0 - su0, u[..., 1] * su0], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# MIS heuristics (core/Sampling.h:151-161)
+# ---------------------------------------------------------------------------
+
+def balance_heuristic(nf, f_pdf, ng, g_pdf):
+    return (nf * f_pdf) / (nf * f_pdf + ng * g_pdf)
+
+
+def power_heuristic(nf, f_pdf, ng, g_pdf):
+    f = nf * f_pdf
+    g = ng * g_pdf
+    denom = f * f + g * g
+    return jnp.where(denom > 0.0, f * f / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Distribution1D / Distribution2D as CDF arrays
+# ---------------------------------------------------------------------------
+
+class Distribution1D(NamedTuple):
+    """Piecewise-constant 1D distribution (core/Sampling.h:19-81).
+
+    func:     (..., N)   unnormalized function values
+    cdf:      (..., N+1) normalized CDF, cdf[..., 0]=0, cdf[..., -1]=1
+    func_int: (...)      integral of func over [0,1]
+    """
+
+    func: jnp.ndarray
+    cdf: jnp.ndarray
+    func_int: jnp.ndarray
+
+    @property
+    def count(self):
+        return self.func.shape[-1]
+
+
+def make_distribution1d(func):
+    func = jnp.asarray(func, jnp.float32)
+    n = func.shape[-1]
+    cdf = jnp.cumsum(func, axis=-1) / n
+    func_int = cdf[..., -1]
+    zero = func_int == 0.0
+    # Degenerate all-zero function -> uniform CDF, as the reference does.
+    uniform = (jnp.arange(1, n + 1, dtype=jnp.float32)) / n
+    norm = jnp.where(
+        zero[..., None], uniform, cdf / jnp.where(zero[..., None], 1.0, func_int[..., None])
+    )
+    cdf_full = jnp.concatenate([jnp.zeros_like(norm[..., :1]), norm], axis=-1)
+    return Distribution1D(func, cdf_full, func_int)
+
+
+def _find_interval(cdf, u):
+    """Index i with cdf[i] <= u < cdf[i+1]; vectorized FindInterval."""
+    # searchsorted(side='right') - 1 clamps to the same interval semantics
+    idx = jnp.searchsorted(cdf, u, side="right") - 1
+    return jnp.clip(idx, 0, cdf.shape[-1] - 2)
+
+
+def sample_continuous_1d(dist: Distribution1D, u):
+    """Returns (x in [0,1), pdf, offset). Batched over u's leading dims."""
+    offset = _find_interval(dist.cdf, u)
+    c_lo = dist.cdf[offset]
+    c_hi = dist.cdf[offset + 1]
+    du = u - c_lo
+    width = c_hi - c_lo
+    du = jnp.where(width > 0.0, du / jnp.where(width > 0.0, width, 1.0), du)
+    f = dist.func[offset]
+    pdf = jnp.where(dist.func_int > 0.0, f / dist.func_int, 0.0)
+    x = (offset.astype(jnp.float32) + du) / dist.count
+    return x, pdf, offset
+
+
+def sample_discrete_1d(dist: Distribution1D, u):
+    """Returns (index, pmf, remapped u)."""
+    offset = _find_interval(dist.cdf, u)
+    f = dist.func[offset]
+    pmf = jnp.where(dist.func_int > 0.0, f / (dist.func_int * dist.count), 0.0)
+    c_lo = dist.cdf[offset]
+    c_hi = dist.cdf[offset + 1]
+    width = c_hi - c_lo
+    u_remapped = jnp.where(width > 0.0, (u - c_lo) / jnp.where(width > 0.0, width, 1.0), u)
+    u_remapped = jnp.minimum(u_remapped, ONE_MINUS_EPSILON)
+    return offset, pmf, u_remapped
+
+
+def discrete_pdf_1d(dist: Distribution1D, index):
+    return dist.func[index] / (dist.func_int * dist.count)
+
+
+class Distribution2D(NamedTuple):
+    """2D marginal/conditional distribution (core/Sampling.h:97-126).
+
+    cond_func: (H, W)    conditional p(u|v) rows
+    cond_cdf:  (H, W+1)
+    cond_int:  (H,)      per-row integrals
+    marg_cdf:  (H+1,)
+    marg_int:  ()        total integral
+    """
+
+    cond_func: jnp.ndarray
+    cond_cdf: jnp.ndarray
+    cond_int: jnp.ndarray
+    marg_cdf: jnp.ndarray
+    marg_int: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.cond_func.shape
+
+
+def make_distribution2d(func):
+    func = jnp.asarray(func, jnp.float32)
+    cond = make_distribution1d(func)  # batched over rows
+    marg = make_distribution1d(cond.func_int)
+    return Distribution2D(cond.func, cond.cdf, cond.func_int, marg.cdf, marg.func_int)
+
+
+def sample_continuous_2d(dist: Distribution2D, u):
+    """u: (..., 2) -> ((..., 2) point in [0,1)^2, pdf)."""
+    h, w = dist.shape
+    marg = Distribution1D(dist.cond_int, dist.marg_cdf, dist.marg_int)
+    d1, pdf1, v_idx = sample_continuous_1d(marg, u[..., 1])
+    # Row-dependent conditional: gather the row then sample.
+    cond_cdf = dist.cond_cdf[v_idx]  # (..., W+1)
+    cond_func = dist.cond_func[v_idx]  # (..., W)
+    cond_int = dist.cond_int[v_idx]
+    u0 = u[..., 0]
+    idx = jnp.clip(
+        jnp.sum((cond_cdf <= u0[..., None]).astype(jnp.int32), axis=-1) - 1, 0, w - 1
+    )
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    c_lo = take(cond_cdf, idx)
+    c_hi = take(cond_cdf, idx + 1)
+    width = c_hi - c_lo
+    du = jnp.where(width > 0.0, (u0 - c_lo) / jnp.where(width > 0.0, width, 1.0), u0 - c_lo)
+    f = take(cond_func, idx)
+    pdf0 = jnp.where(cond_int > 0.0, f / jnp.where(cond_int > 0.0, cond_int, 1.0), 0.0)
+    d0 = (idx.astype(jnp.float32) + du) / w
+    return jnp.stack([d0, d1], axis=-1), pdf0 * pdf1
+
+
+def pdf_2d(dist: Distribution2D, p):
+    """PDF of a point p in [0,1)^2 w.r.t. the 2D distribution."""
+    h, w = dist.shape
+    iu = jnp.clip((p[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iv = jnp.clip((p[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return dist.cond_func[iv, iu] / dist.marg_int
