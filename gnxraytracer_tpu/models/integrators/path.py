@@ -1,0 +1,332 @@
+"""Wavefront path integrator.
+
+TPU-native re-design of the reference PathIntegrator
+(/root/reference/integrators/PathIntegrator.cpp:62-208): the recursive
+per-pixel Li() becomes a bounce loop over a dense SoA ray wavefront —
+every lane is one (pixel, sample) path; dead lanes are masked rather than
+compacted (compaction via sort comes later as a perf feature).  Estimator
+structure matches the reference exactly:
+
+  * emission added at bounce 0 or after a specular bounce
+  * NEE via UniformSampleOneLight + EstimateDirect with both MIS strategies
+    (light sample + BSDF sample with an extra ray, core/Integrator.cpp:93-210)
+  * power-heuristic MIS weights (core/Sampling.h:157)
+  * beta *= f |cos| / pdf extension step, etaScale tracking
+  * Russian roulette: q = max(.05, 1 - maxComp(beta*etaScale)) when
+    maxComp < rrThreshold and bounces > 3 (PathIntegrator.cpp:198-204)
+
+Sample-dimension layout per lane (stateless sampler, ops/samplers.py):
+dims 0-4 camera; per bounce b, base = 5 + 8b:
+  +0 light select, +1..2 uLight, +3..4 uScattering (NEE BSDF-MIS),
+  +5..6 BSDF extension sample, +7 RR.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import INFINITY
+from ...ops import samplers, trace
+from ...ops.sampling import power_heuristic
+from ...scene import camera as cam_mod
+from ...utils.math import absdot, dot, normalize
+from .. import lights as lights_mod
+from .. import materials as mat_mod
+
+DIMS_PER_BOUNCE = 8
+CAMERA_DIMS = 5
+
+
+class RenderCfg(NamedTuple):
+    """Static (hashable) render configuration — the typed replacement for
+    the reference's hardcoded constants (SURVEY.md §5 config audit)."""
+    width: int
+    height: int
+    spp: int
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    mat_kinds: tuple = ()
+    light_kinds: tuple = ()
+    n_tris: int = 0
+    n_sphs: int = 0
+    n_lights: int = 0
+    use_bvh: bool = False
+    reference_area_bug: bool = True
+    spp_chunk: int = 4
+    light_strategy: str = "uniform"  # uniform | power
+
+    # -- derived static predicates (python-level, trace-time) -------------
+    @property
+    def has_point_like(self):
+        return 0 in self.light_kinds or 1 in self.light_kinds
+
+    @property
+    def has_spot(self):
+        return 1 in self.light_kinds
+
+    @property
+    def has_distant(self):
+        return 2 in self.light_kinds
+
+    @property
+    def has_area(self):
+        return 3 in self.light_kinds
+
+    @property
+    def has_env(self):
+        return 4 in self.light_kinds
+
+    @property
+    def has_skybox(self):
+        return 5 in self.light_kinds
+
+
+def make_config(scene, width, height, spp, **kw):
+    """Derive the static kind sets from a built scene (host-side)."""
+    import numpy as np
+
+    mat_kinds = tuple(sorted(set(np.asarray(scene.materials.kind).tolist())))
+    light_kinds = tuple(sorted(set(np.asarray(scene.lights.kind).tolist())))
+    return RenderCfg(
+        width=width, height=height, spp=spp,
+        mat_kinds=mat_kinds, light_kinds=light_kinds,
+        n_tris=int(scene.geom.triangles.shape[0]),
+        n_sphs=int(scene.geom.sph_center.shape[0]),
+        n_lights=int(scene.lights.kind.shape[0]),
+        use_bvh=scene.bvh is not None,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Direct lighting (UniformSampleOneLight + EstimateDirect)
+# ---------------------------------------------------------------------------
+
+def _choose_light(scene, cfg, u):
+    """Uniform light selection (core/Integrator.cpp:66-70)."""
+    nl = cfg.n_lights
+    idx = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
+    pdf = jnp.full(u.shape, 1.0 / nl, jnp.float32)
+    return idx, pdf
+
+
+def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx):
+    """EstimateDirect (core/Integrator.cpp:93-210) for all lanes at once.
+
+    Returns (N,3) direct radiance (before division by light-select pdf).
+    """
+    n = it.p.shape[0]
+    ld = jnp.zeros((n, 3), jnp.float32)
+
+    # ---- strategy 1: sample the light ------------------------------------
+    ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
+    wi_local = trace.to_local(it, ls.wi)
+    f_light, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local, wi_local)
+    f_light = f_light * absdot(ls.wi, it.ns)[..., None]
+    contrib_possible = (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1) & jnp.any(f_light > 0, axis=-1)
+    # visibility (shadow ray) only where it can matter
+    so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
+    occluded = trace.scene_occluded(scene, cfg, so, sd, st)
+    vis = contrib_possible & ~occluded
+    w_l = jnp.where(
+        ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
+    )
+    ld_light = f_light * ls.li * (w_l / jnp.maximum(ls.pdf, 1e-12))[..., None]
+    ld = ld + jnp.where(vis[..., None], ld_light, 0.0)
+
+    # ---- strategy 2: sample the BSDF (non-delta lights only) --------------
+    smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_scatter,
+                         u_scatter[..., 0])
+    wi_world = trace.to_world(it, smp.wi)
+    f_b = smp.f * absdot(wi_world, it.ns)[..., None]
+    do_bsdf = (~ls.is_delta) & smp.valid & (smp.pdf > 0) & (
+        jnp.any(f_b > 0, axis=-1) | smp.specular
+    )
+    l_pdf = lights_mod.pdf_li(scene, cfg, light_idx, it.p, wi_world)
+    w_b = jnp.where(smp.specular, 1.0, power_heuristic(1.0, smp.pdf, 1.0, l_pdf))
+    # specular lanes: EstimateDirect uses f from Sample_f directly; our
+    # specular weight already folds pdf, so reconstruct f*cos/pdf:
+    contrib_scale = jnp.where(
+        smp.specular[..., None], smp.weight, f_b / jnp.maximum(smp.pdf, 1e-12)[..., None]
+    )
+    w_b = jnp.where(do_bsdf & ((l_pdf > 0) | smp.specular), w_b, 0.0)
+    # trace the BSDF-sampled ray; add only if it hits *this* light (or the
+    # light is infinite and the ray escapes)
+    bo, bd = trace.spawn_ray(it, wi_world)
+    bhit = trace.scene_intersect(scene, cfg, bo, bd, jnp.full((n,), INFINITY))
+    li_b = jnp.zeros((n, 3), jnp.float32)
+    if cfg.has_area:
+        hit_it_light = bhit.hit & (bhit.kind == trace.PRIM_TRI)
+        tri_light = jnp.where(hit_it_light, scene.geom.tri_light[jnp.where(hit_it_light, bhit.prim, 0)], -1)
+        same_light = hit_it_light & (tri_light == light_idx)
+        # emitted radiance toward -wi
+        tri = scene.geom.triangles[jnp.where(same_light, bhit.prim, 0)]
+        p0 = scene.geom.vertices[tri[:, 0]]
+        p1 = scene.geom.vertices[tri[:, 1]]
+        p2 = scene.geom.vertices[tri[:, 2]]
+        nl = normalize(jnp.cross(p1 - p0, p2 - p0))
+        le = lights_mod.area_light_emitted(scene, light_idx, nl, -bd,
+                                           cfg.reference_area_bug)
+        li_b = jnp.where(same_light[..., None], le, li_b)
+    if cfg.has_skybox or cfg.has_env:
+        escaped = ~bhit.hit
+        lkind = scene.lights.kind[light_idx]
+        if cfg.has_skybox:
+            m = escaped & (lkind == 5)
+            li_b = jnp.where(m[..., None], 0.0, li_b)  # skybox Sample side black
+        if cfg.has_env:
+            m = escaped & (lkind == 4)
+            li_b = jnp.where(m[..., None], lights_mod.envmap_le(scene, bd), li_b)
+    ld = ld + contrib_scale * li_b * w_b[..., None]
+    return ld
+
+
+# ---------------------------------------------------------------------------
+# The bounce loop
+# ---------------------------------------------------------------------------
+
+class PathState(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    beta: jnp.ndarray
+    L: jnp.ndarray
+    alive: jnp.ndarray
+    specular: jnp.ndarray
+    eta_scale: jnp.ndarray
+
+
+def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+    """Trace one wavefront of paths to completion. Returns (N,3) radiance."""
+    n = o.shape[0]
+    state = PathState(
+        o=o, d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        L=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        specular=jnp.zeros((n,), bool),
+        eta_scale=jnp.ones((n,), jnp.float32),
+    )
+
+    def bounce(b, state: PathState):
+        base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
+        hit = trace.scene_intersect(scene, cfg, state.o, state.d,
+                                    jnp.full((n,), INFINITY))
+        it = trace.make_interaction(scene, cfg, state.o, state.d, hit)
+
+        L = state.L
+        # emission at path vertex (bounce 0 or after specular)
+        emit_ok = state.alive & ((b == 0) | state.specular)
+        if cfg.has_area:
+            is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (it.light >= 0)
+            le = lights_mod.area_light_emitted(
+                scene, jnp.maximum(it.light, 0), it.ng, -state.d,
+                cfg.reference_area_bug,
+            )
+            add = emit_ok & is_emitter
+            L = L + jnp.where(add[..., None], state.beta * le, 0.0)
+        if cfg.has_skybox or cfg.has_env:
+            esc = emit_ok & ~hit.hit
+            le_inf = lights_mod.escaped_radiance(scene, cfg, state.o, state.d)
+            L = L + jnp.where(esc[..., None], state.beta * le_inf, 0.0)
+
+        alive = state.alive & hit.hit & (b < cfg.max_depth)
+
+        # NEE (skip for perfectly specular BSDFs, PathIntegrator.cpp:138)
+        wo_local = trace.to_local(it, it.wo)
+        has_ns = mat_mod.has_nonspecular(scene.materials, it.mat, cfg)
+        u_sel = samplers.sample_dim(sampler, pixel, sample, base + 0)
+        u_light = samplers.sample_2d(sampler, pixel, sample, base + 1)
+        u_scat = samplers.sample_2d(sampler, pixel, sample, base + 3)
+        light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+        ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx)
+        nee_ok = alive & has_ns
+        L = L + jnp.where(
+            nee_ok[..., None],
+            state.beta * ld / jnp.maximum(light_pdf, 1e-12)[..., None],
+            0.0,
+        )
+
+        # extension: sample the BSDF
+        u_bsdf = samplers.sample_2d(sampler, pixel, sample, base + 5)
+        smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
+                             u_bsdf[..., 0])
+        cos_factor = jnp.ones_like(smp.pdf)  # folded into smp.weight
+        beta = state.beta * smp.weight
+        alive = alive & smp.valid & jnp.any(beta > 0, axis=-1)
+        specular = smp.specular
+        # etaScale update for specular transmission (PathIntegrator.cpp:161)
+        entering = dot(it.wo, it.ng) > 0
+        es_update = jnp.where(entering, smp.eta * smp.eta, 1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
+        eta_scale = jnp.where(
+            smp.specular & smp.transmission, state.eta_scale * es_update,
+            state.eta_scale,
+        )
+
+        wi_world = trace.to_world(it, smp.wi)
+        no, nd = trace.spawn_ray(it, wi_world)
+
+        # Russian roulette (PathIntegrator.cpp:198-204)
+        rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
+        do_rr = (rr_beta_max < cfg.rr_threshold) & (b > 3)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        u_rr = samplers.sample_dim(sampler, pixel, sample, base + 7)
+        killed = do_rr & (u_rr < q)
+        beta = jnp.where(
+            (do_rr & ~killed)[..., None],
+            beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta,
+        )
+        alive = alive & ~killed
+
+        return PathState(
+            o=jnp.where(alive[..., None], no, state.o),
+            d=jnp.where(alive[..., None], nd, state.d),
+            beta=jnp.where(alive[..., None], beta, state.beta),
+            L=L,
+            alive=alive,
+            specular=jnp.where(alive, specular, state.specular),
+            eta_scale=jnp.where(alive, eta_scale, state.eta_scale),
+        )
+
+    # maxDepth+1 iterations: the final one only collects emission
+    # (reference loop breaks after the bounces >= maxDepth emission add)
+    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+    return state.L
+
+
+# ---------------------------------------------------------------------------
+# Render driver
+# ---------------------------------------------------------------------------
+
+def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples):
+    """Render n_samples spp for every pixel; returns (H*W, 3) radiance sum."""
+    hw = cfg.width * cfg.height
+    pixel = jnp.tile(jnp.arange(hw, dtype=jnp.int32), (n_samples,))
+    sample = jnp.repeat(
+        sample_start + jnp.arange(n_samples, dtype=jnp.int32), hw
+    )
+    p_film, time_u, p_lens = samplers.camera_sample(sampler, pixel, sample, cfg.width)
+    o, d, _t = cam_mod.generate_rays(camera, p_film, time_u, p_lens)
+    L = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
+    # box filter: each sample belongs to its own pixel -> segment sum by
+    # reshape (samples are pixel-major tiles)
+    return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+
+
+_render_chunk_jit = jax.jit(
+    render_chunk, static_argnames=("cfg", "n_samples"),
+)
+
+
+def render(scene, camera, sampler, cfg: RenderCfg):
+    """Full render: loops spp chunks on the host, accumulating on device.
+    Returns (H, W, 3) linear HDR radiance (mean over spp)."""
+    hw = cfg.width * cfg.height
+    acc = jnp.zeros((hw, 3), jnp.float32)
+    s = 0
+    while s < cfg.spp:
+        ns = min(cfg.spp_chunk, cfg.spp - s)
+        acc = acc + _render_chunk_jit(scene, camera, sampler, cfg, s, ns)
+        s += ns
+    img = acc / cfg.spp
+    return img.reshape(cfg.height, cfg.width, 3)

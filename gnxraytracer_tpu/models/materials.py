@@ -1,0 +1,164 @@
+"""Material assemblies: per-hit lobe mixtures dispatched by material kind.
+
+Replaces the reference's Material::ComputeScatteringFunctions +
+per-pixel-arena BSDF allocation (/root/reference/core/Material.h:21,
+materials/*.cpp) with branchless table dispatch: each hit gathers its
+material row, every material *kind present in the scene* is evaluated for
+all lanes, and results combine with where-masks.  The set of present kinds
+is static (render config), so absent kinds compile away entirely.
+
+Interface (local shading frame, z = ns):
+  evaluate(mats, mid, cfg, wo, wi)  -> (f, pdf)   over non-specular lobes
+  sample(mats, mid, cfg, wo, u2, uc) -> BsdfSample (detached wi, attached weight)
+  has_nonspecular(mats, mid, cfg)   -> bool mask
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.scene import (
+    MAT_DISNEY, MAT_GLASS, MAT_MATTE, MAT_METAL, MAT_MIRROR, MAT_PLASTIC,
+    MaterialTable,
+)
+from ..utils.math import abs_cos_theta, same_hemisphere
+from . import bxdf
+
+
+class BsdfSample(NamedTuple):
+    wi: jnp.ndarray        # (N,3) local, detached
+    weight: jnp.ndarray    # (N,3) f * |cos| / pdf (attached params)
+    pdf: jnp.ndarray       # (N,) sampling pdf (detached value ok)
+    f: jnp.ndarray         # (N,3) raw f (0 for specular lanes)
+    specular: jnp.ndarray  # (N,) bool — sampled a delta lobe
+    transmission: jnp.ndarray  # (N,) bool — sampled a transmissive lobe
+    eta: jnp.ndarray       # (N,) material eta (for etaScale tracking)
+    valid: jnp.ndarray     # (N,) bool — black f / zero pdf -> terminate
+
+
+def _g(col, mid):
+    return jnp.take(col, mid, axis=0)
+
+
+def has_nonspecular(mats: MaterialTable, mid, cfg):
+    """NumComponents(~SPECULAR) > 0 per kind (PathIntegrator.cpp:138)."""
+    kind = _g(mats.kind, mid)
+    ns = jnp.ones(mid.shape, bool)
+    if 1 in cfg.mat_kinds:  # mirror: specular only
+        ns = ns & (kind != MAT_MIRROR)
+    if 2 in cfg.mat_kinds:  # smooth glass: specular only (rough later)
+        rough = (_g(mats.rough_u, mid) > 0) | (_g(mats.rough_v, mid) > 0)
+        ns = ns & ((kind != MAT_GLASS) | rough)
+    return ns
+
+
+def evaluate(mats: MaterialTable, mid, cfg, wo, wi):
+    """f and pdf over non-specular lobes (BSDF::f / BSDF::Pdf,
+    Reflection.cpp:440,548)."""
+    kind = _g(mats.kind, mid)
+    n = mid.shape[0]
+    f = jnp.zeros((n, 3), jnp.float32)
+    pdf = jnp.zeros((n,), jnp.float32)
+
+    if MAT_MATTE in cfg.mat_kinds:
+        m = kind == MAT_MATTE
+        kd = _g(mats.kd, mid)
+        sigma = _g(mats.sigma, mid)
+        f_on = bxdf.oren_nayar_f(wo, wi, kd, sigma)
+        f_lam = bxdf.lambert_f(wo, wi, kd)
+        f_m = jnp.where((sigma > 0)[..., None], f_on, f_lam)
+        p_m = bxdf.lambert_pdf(wo, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        pdf = jnp.where(m, p_m, pdf)
+
+    if MAT_METAL in cfg.mat_kinds or MAT_PLASTIC in cfg.mat_kinds or MAT_GLASS in cfg.mat_kinds or MAT_DISNEY in cfg.mat_kinds:
+        from . import microfacet as mf
+
+        f2, p2, mask2 = mf.evaluate_glossy(mats, mid, cfg, wo, wi)
+        f = jnp.where(mask2[..., None], f2, f)
+        pdf = jnp.where(mask2, p2, pdf)
+
+    return f, pdf
+
+
+def sample(mats: MaterialTable, mid, cfg, wo, u2, uc):
+    """BSDF::Sample_f dispatch (Reflection.cpp:474-546).
+
+    u2: (N,2) direction sample; uc: (N,) lobe-choice sample.
+    """
+    kind = _g(mats.kind, mid)
+    n = mid.shape[0]
+    wi = jnp.zeros((n, 3), jnp.float32)
+    weight = jnp.zeros((n, 3), jnp.float32)
+    pdf = jnp.zeros((n,), jnp.float32)
+    f = jnp.zeros((n, 3), jnp.float32)
+    spec = jnp.zeros((n,), bool)
+    trans = jnp.zeros((n,), bool)
+    eta = jnp.ones((n,), jnp.float32)
+    valid = jnp.zeros((n,), bool)
+
+    if MAT_MATTE in cfg.mat_kinds:
+        m = kind == MAT_MATTE
+        kd = _g(mats.kd, mid)
+        sigma = _g(mats.sigma, mid)
+        wi_m = bxdf.diffuse_sample_wi(wo, u2)
+        f_on = bxdf.oren_nayar_f(wo, wi_m, kd, sigma)
+        f_lam = bxdf.lambert_f(wo, wi_m, kd)
+        f_m = jnp.where((sigma > 0)[..., None], f_on, f_lam)
+        p_m = bxdf.lambert_pdf(wo, wi_m)
+        ok = p_m > 0
+        w_m = f_m * (abs_cos_theta(wi_m) / jnp.maximum(jax.lax.stop_gradient(p_m), 1e-12))[..., None]
+        wi = jnp.where(m[..., None], wi_m, wi)
+        weight = jnp.where(m[..., None], w_m, weight)
+        pdf = jnp.where(m, p_m, pdf)
+        f = jnp.where(m[..., None], f_m, f)
+        valid = valid | (m & ok)
+
+    if MAT_MIRROR in cfg.mat_kinds:
+        m = kind == MAT_MIRROR
+        kr = _g(mats.kr, mid)
+        wi_m, w_m = bxdf.specular_mirror_sample(wo, kr)
+        wi = jnp.where(m[..., None], wi_m, wi)
+        weight = jnp.where(m[..., None], w_m, weight)
+        pdf = jnp.where(m, 1.0, pdf)
+        spec = spec | m
+        valid = valid | m
+
+    if MAT_GLASS in cfg.mat_kinds:
+        # Smooth glass -> FresnelSpecular (GlassMaterial.cpp:14 with
+        # allowMultipleLobes); rough glass handled in microfacet module.
+        m = kind == MAT_GLASS
+        kr = _g(mats.kr, mid)
+        kt = _g(mats.kt, mid)
+        eta_b = _g(mats.eta, mid)
+        wi_m, w_r, w_t, choose_r, p_m, refr_ok = bxdf.fresnel_specular_sample(
+            wo, uc, jnp.ones_like(eta_b), eta_b
+        )
+        w_m = jnp.where(
+            choose_r[..., None], kr * (w_r / jnp.maximum(p_m, 1e-12))[..., None],
+            kt * (w_t / jnp.maximum(p_m, 1e-12))[..., None],
+        )
+        ok = choose_r | refr_ok
+        wi = jnp.where(m[..., None], wi_m, wi)
+        weight = jnp.where(m[..., None], w_m, weight)
+        pdf = jnp.where(m, p_m, pdf)
+        spec = spec | m
+        trans = trans | (m & ~choose_r)
+        eta = jnp.where(m, eta_b, eta)
+        valid = valid | (m & ok)
+
+    if MAT_METAL in cfg.mat_kinds or MAT_PLASTIC in cfg.mat_kinds or MAT_DISNEY in cfg.mat_kinds:
+        from . import microfacet as mf
+
+        smp2, mask2 = mf.sample_glossy(mats, mid, cfg, wo, u2, uc)
+        wi = jnp.where(mask2[..., None], smp2.wi, wi)
+        weight = jnp.where(mask2[..., None], smp2.weight, weight)
+        pdf = jnp.where(mask2, smp2.pdf, pdf)
+        f = jnp.where(mask2[..., None], smp2.f, f)
+        spec = jnp.where(mask2, smp2.specular, spec)
+        trans = jnp.where(mask2, smp2.transmission, trans)
+        eta = jnp.where(mask2, smp2.eta, eta)
+        valid = jnp.where(mask2, smp2.valid, valid)
+
+    return BsdfSample(wi, weight, pdf, f, spec, trans, eta, valid)

@@ -1,0 +1,240 @@
+"""Scene-level ray casting: closest-hit and any-hit over all primitive
+types, plus surface-interaction construction.
+
+Functional equivalent of Scene::Intersect / Scene::IntersectP +
+SurfaceInteraction (/root/reference/core/Scene.cpp:12-24,
+core/Interaction.h:96): a hit record is SoA arrays carrying prim ids; the
+surface interaction gathers positions/normals/uv and builds the shading
+frame, mirroring Triangle::Intersect's output fields
+(shape/Triangle.cpp:228-300) without the per-hit heap objects.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import INFINITY, gamma
+from ..utils.math import coordinate_system, cross, dot, face_forward, normalize
+from . import intersect
+
+PRIM_NONE = -1
+PRIM_TRI = 0
+PRIM_SPH = 1
+
+
+class Hit(NamedTuple):
+    hit: jnp.ndarray       # (N,) bool
+    t: jnp.ndarray         # (N,)
+    kind: jnp.ndarray      # (N,) int32: PRIM_TRI / PRIM_SPH (valid where hit)
+    prim: jnp.ndarray      # (N,) int32 triangle or sphere index
+    b: jnp.ndarray         # (N,3) triangle barycentrics
+
+
+class Interaction(NamedTuple):
+    p: jnp.ndarray         # (N,3) hit point
+    p_err: jnp.ndarray     # (N,3) conservative position error bound
+    ng: jnp.ndarray        # (N,3) geometric normal
+    ns: jnp.ndarray        # (N,3) shading normal
+    ss: jnp.ndarray        # (N,3) shading tangent (dpdu orthogonalized)
+    ts: jnp.ndarray        # (N,3) shading bitangent
+    uv: jnp.ndarray        # (N,2)
+    wo: jnp.ndarray        # (N,3) world, toward viewer
+    mat: jnp.ndarray       # (N,) int32 material id
+    light: jnp.ndarray     # (N,) int32 area light id or -1
+
+
+def scene_intersect(scene, cfg, o, d, t_max):
+    """Closest hit across triangles and spheres."""
+    n = o.shape[0]
+    t_best = jnp.asarray(t_max, jnp.float32)
+    if jnp.ndim(t_best) == 0:
+        t_best = jnp.full((n,), t_best)
+    hit = jnp.zeros((n,), bool)
+    kind = jnp.full((n,), PRIM_NONE, jnp.int32)
+    prim = jnp.zeros((n,), jnp.int32)
+    bary = jnp.zeros((n, 3), jnp.float32)
+
+    if cfg.n_tris > 0:
+        if cfg.use_bvh:
+            from .bvh import bvh_closest_hit
+
+            th = bvh_closest_hit(scene.bvh, scene.geom.vertices,
+                                 scene.geom.triangles, o, d, t_best)
+        else:
+            th = intersect.closest_triangle_hit(
+                o, d, t_best, scene.geom.vertices, scene.geom.triangles
+            )
+        better = th.hit & (th.t < t_best)
+        t_best = jnp.where(better, th.t, t_best)
+        hit = hit | better
+        kind = jnp.where(better, PRIM_TRI, kind)
+        prim = jnp.where(better, th.tri, prim)
+        bary = jnp.where(better[..., None], th.b, bary)
+
+    if cfg.n_sphs > 0:
+        sh = intersect.closest_sphere_hit(
+            o, d, t_best, scene.geom.sph_center, scene.geom.sph_radius
+        )
+        better = sh.hit & (sh.t < t_best)
+        t_best = jnp.where(better, sh.t, t_best)
+        hit = hit | better
+        kind = jnp.where(better, PRIM_SPH, kind)
+        prim = jnp.where(better, sh.sph, prim)
+
+    return Hit(hit, jnp.where(hit, t_best, INFINITY), kind, prim, bary)
+
+
+def scene_occluded(scene, cfg, o, d, t_max):
+    """Any-hit (VisibilityTester::Unoccluded -> !IntersectP,
+    core/Light.cpp:28-31)."""
+    n = o.shape[0]
+    occ = jnp.zeros((n,), bool)
+    if cfg.n_tris > 0:
+        if cfg.use_bvh:
+            from .bvh import bvh_any_hit
+
+            occ = occ | bvh_any_hit(scene.bvh, scene.geom.vertices,
+                                    scene.geom.triangles, o, d, t_max)
+        else:
+            occ = occ | intersect.any_triangle_hit(
+                o, d, t_max, scene.geom.vertices, scene.geom.triangles
+            )
+    if cfg.n_sphs > 0:
+        ok, _ = intersect.ray_spheres(o, d, t_max, scene.geom.sph_center,
+                                      scene.geom.sph_radius)
+        occ = occ | jnp.any(ok, axis=-1)
+    return occ
+
+
+def make_interaction(scene, cfg, o, d, hit: Hit) -> Interaction:
+    """Build the surface interaction for each (possibly invalid) lane."""
+    g = scene.geom
+    is_tri = hit.kind == PRIM_TRI
+    tri_idx = jnp.where(is_tri, hit.prim, 0)
+    tri = g.triangles[tri_idx]
+    p0 = g.vertices[tri[:, 0]]
+    p1 = g.vertices[tri[:, 1]]
+    p2 = g.vertices[tri[:, 2]]
+    b = hit.b
+    # Triangle hit point from barycentrics (Triangle.cpp: pHit = b0 p0 + ...)
+    p_tri = b[:, 0:1] * p0 + b[:, 1:2] * p1 + b[:, 2:3] * p2
+    # error bound pError = gamma(7) * sum |bi pi| (Triangle.cpp:224)
+    p_err_tri = gamma(7) * (
+        jnp.abs(b[:, 0:1] * p0) + jnp.abs(b[:, 1:2] * p1) + jnp.abs(b[:, 2:3] * p2)
+    )
+    ng_tri = normalize(cross(p0 - p2, p1 - p2))
+    dpdu_tri = p1 - p0  # default UVs (0,0),(1,0),(1,1) -> dpdu = p1 - p0
+    if g.uvs is not None:
+        uv0 = g.uvs[tri[:, 0]]
+        uv1 = g.uvs[tri[:, 1]]
+        uv2 = g.uvs[tri[:, 2]]
+        duv02 = uv0 - uv2
+        duv12 = uv1 - uv2
+        det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        dp02 = p0 - p2
+        dp12 = p1 - p2
+        dpdu_uv = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv[:, None]
+        dpdu_tri = jnp.where((jnp.abs(det) > 1e-12)[:, None], dpdu_uv, dpdu_tri)
+        uv_tri = b[:, 0:1] * uv0 + b[:, 1:2] * uv1 + b[:, 2:3] * uv2
+    else:
+        # default UVs: uv = b0*(0,0) + b1*(1,0) + b2*(1,1)
+        uv_tri = jnp.stack([b[:, 1] + b[:, 2], b[:, 2]], axis=-1)
+    if g.normals is not None:
+        n0 = g.normals[tri[:, 0]]
+        n1 = g.normals[tri[:, 1]]
+        n2 = g.normals[tri[:, 2]]
+        ns_tri = normalize(b[:, 0:1] * n0 + b[:, 1:2] * n1 + b[:, 2:3] * n2, eps=1e-20)
+        degen = jnp.sum(ns_tri * ns_tri, axis=-1) < 0.5
+        ns_tri = jnp.where(degen[:, None], ng_tri, ns_tri)
+        # align ng with ns hemisphere (Triangle.cpp shading-geometry fixup)
+        ng_tri = face_forward(ng_tri, ns_tri)
+    else:
+        ns_tri = ng_tri
+    mat_tri = g.tri_mat[tri_idx]
+    light_tri = g.tri_light[tri_idx]
+
+    if cfg.n_sphs > 0:
+        is_sph = hit.kind == PRIM_SPH
+        sph_idx = jnp.where(is_sph, hit.prim, 0)
+        c = g.sph_center[sph_idx]
+        r = g.sph_radius[sph_idx]
+        p_s = o + hit.t[:, None] * d
+        # reproject onto the sphere (pbrt sphere hit refinement)
+        rel = p_s - c
+        rel = rel * (r / jnp.maximum(jnp.sqrt(jnp.sum(rel * rel, -1)), 1e-12))[:, None]
+        p_sph = c + rel
+        ng_sph = normalize(rel)
+        # spherical uv + dpdu = (-y, x, 0) * 2pi
+        phi = jnp.arctan2(rel[:, 1], rel[:, 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        theta = jnp.arccos(jnp.clip(rel[:, 2] / jnp.maximum(r, 1e-12), -1.0, 1.0))
+        uv_sph = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], axis=-1)
+        dpdu_sph = jnp.stack([-rel[:, 1], rel[:, 0], jnp.zeros_like(r)], axis=-1)
+        p_err_sph = gamma(5) * jnp.abs(p_sph)
+        mat_sph = g.sph_mat[sph_idx]
+        light_sph = g.sph_light[sph_idx]
+
+        pick = is_sph[:, None]
+        p = jnp.where(pick, p_sph, p_tri)
+        p_err = jnp.where(pick, p_err_sph, p_err_tri)
+        ng = jnp.where(pick, ng_sph, ng_tri)
+        ns = jnp.where(pick, ng_sph, ns_tri)
+        dpdu = jnp.where(pick, dpdu_sph, dpdu_tri)
+        uv = jnp.where(pick, uv_sph, uv_tri)
+        mat = jnp.where(is_sph, mat_sph, mat_tri)
+        light = jnp.where(is_sph, light_sph, light_tri)
+    else:
+        p, p_err, ng, ns, dpdu, uv, mat, light = (
+            p_tri, p_err_tri, ng_tri, ns_tri, dpdu_tri, uv_tri, mat_tri, light_tri
+        )
+
+    # shading frame: ss = normalized dpdu orthogonalized against ns
+    ss = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
+    len2 = jnp.sum(ss * ss, axis=-1)
+    ss_cs, _ = coordinate_system(ns)
+    ss = jnp.where((len2 > 1e-12)[:, None], ss * jax_rsqrt(len2)[:, None], ss_cs)
+    ts = cross(ns, ss)
+
+    return Interaction(
+        p=p, p_err=p_err, ng=ng, ns=ns, ss=ss, ts=ts, uv=uv,
+        wo=normalize(-d), mat=mat, light=light,
+    )
+
+
+def jax_rsqrt(x):
+    return 1.0 / jnp.sqrt(jnp.maximum(x, 1e-24))
+
+
+def to_local(it: Interaction, v):
+    """World -> shading frame (BSDF::WorldToLocal, Reflection.h:116)."""
+    return jnp.stack([dot(v, it.ss), dot(v, it.ts), dot(v, it.ns)], axis=-1)
+
+
+def to_world(it: Interaction, v):
+    return (
+        v[..., 0:1] * it.ss + v[..., 1:2] * it.ts + v[..., 2:3] * it.ns
+    )
+
+
+def offset_ray_origin(p, p_err, ng, w):
+    """Robust ray-origin offset (core/Geometry.h OffsetRayOrigin): move
+    along ng by the projected error bound, toward the side of w."""
+    d = jnp.sum(jnp.abs(ng) * p_err, axis=-1, keepdims=True) + 1e-5
+    offset = d * ng
+    offset = jnp.where(jnp.sum(w * ng, axis=-1, keepdims=True) < 0, -offset, offset)
+    return p + offset
+
+
+def spawn_ray(it: Interaction, w):
+    return offset_ray_origin(it.p, it.p_err, it.ng, w), w
+
+
+def shadow_ray(it: Interaction, target, is_infinite):
+    """Ray toward a light sample point; returns (o, d_unit, t_max)."""
+    o = offset_ray_origin(it.p, it.p_err, it.ng, target - it.p)
+    to_t = target - o
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to_t * to_t, -1), 1e-20))
+    d = to_t / dist[:, None]
+    t_max = jnp.where(is_infinite, INFINITY, dist * (1.0 - 1e-3))
+    return o, d, t_max

@@ -1,0 +1,124 @@
+"""Scene presets replicating the reference's hardcoded scenes.
+
+The reference has no scene files; its "API" is C++ construction code in
+ui/RenderThread.cpp:46-187 + ui/ModelList.cpp.  These builders replicate
+that geometry verbatim (coordinates from ModelList.cpp:71-147, materials
+from RenderThread.cpp:78-103) so parity tests compare like for like, plus
+the five BASELINE.md configs.
+"""
+
+import numpy as np
+
+from .camera import make_perspective_camera
+from .scene import SceneBuilder
+
+# Cornell wall vertices (ModelList.cpp:83-100), 10 triangles, before the
+# translate by -2.5 (tri_ConBox2World, ModelList.cpp:101)
+_L = 5.0
+CORNELL_VERTS = np.array([
+    # floor
+    [0, 0, _L], [_L, 0, _L], [0, 0, 0],
+    [_L, 0, _L], [_L, 0, 0], [0, 0, 0],
+    # ceiling
+    [0, _L, _L], [0, _L, 0], [_L, _L, _L],
+    [_L, _L, _L], [0, _L, 0], [_L, _L, 0],
+    # back wall
+    [0, 0, 0], [_L, 0, 0], [_L, _L, 0],
+    [0, 0, 0], [_L, _L, 0], [0, _L, 0],
+    # right wall (x=0 side; gets material1 = red in the reference call)
+    [0, 0, 0], [0, _L, _L], [0, 0, _L],
+    [0, 0, 0], [0, _L, 0], [0, _L, _L],
+    # left wall (x=L side; material2 = blue)
+    [_L, 0, 0], [_L, _L, _L], [_L, 0, _L],
+    [_L, 0, 0], [_L, _L, 0], [_L, _L, _L],
+], np.float32)
+
+# Area light quad (ModelList.cpp:128-129), translated by (0, 2.45, 0)
+AREA_LIGHT_VERTS = np.array([
+    [-1.4, 0.0, 1.4], [-1.4, 0.0, -1.4], [1.4, 0.0, 1.4],
+    [1.4, 0.0, 1.4], [-1.4, 0.0, -1.4], [1.4, 0.0, -1.4],
+], np.float32)
+
+
+def _translate(v):
+    m = np.eye(4, dtype=np.float64)
+    m[:3, 3] = v
+    return m
+
+
+def add_cornell(b: SceneBuilder, mat_red, mat_blue, mat_white):
+    """AddCornell (ModelList.cpp:71-119): tris 6,7 -> material1 (red wall),
+    tris 8,9 -> material2 (blue wall), rest -> material3 (white)."""
+    tris = np.arange(30).reshape(10, 3)
+    xf = _translate([-0.5 * _L, -0.5 * _L, -0.5 * _L])
+    mats = [mat_white] * 6 + [mat_red] * 2 + [mat_blue] * 2
+    # add per-material groups preserving triangle order
+    start, _ = b.add_mesh(CORNELL_VERTS, tris, mat_white, transform=xf)
+    # patch per-tri materials (builder stores per-mesh; easiest: set directly)
+    import numpy as _np
+    b.tri_mat[-1] = _np.asarray(mats, _np.int32)
+    return start
+
+
+def add_area_lights(b: SceneBuilder, mat_light, l_emit=(5.0, 5.0, 5.0)):
+    """AddAreaLight (ModelList.cpp:121-147): 2 emissive triangles at
+    y=2.45, each its own DiffuseAreaLight with Lemit=5."""
+    xf = _translate([0.0, 2.45, 0.0])
+    start, n = b.add_mesh(AREA_LIGHT_VERTS, np.arange(6).reshape(2, 3),
+                          mat_light, transform=xf)
+    ids = []
+    for i in range(n):
+        lid = b.add_area_light_tri(start + i, l_emit, two_sided=False)
+        ids.append(lid)
+    # tag the triangles with their light ids
+    import numpy as _np
+    b.tri_light[-1] = _np.asarray(ids, _np.int32)
+    return ids
+
+
+def reference_materials(b: SceneBuilder, sigma=60.0):
+    """RenderThread.cpp:78-103 material set (note sigma=60 -> Oren-Nayar)."""
+    white = b.add_matte((0.91, 0.91, 0.91), sigma=sigma)
+    dragon = b.add_matte((0.2, 0.8, 0.2), sigma=sigma)
+    red = b.add_matte((0.9, 0.1, 0.17), sigma=sigma)
+    blue = b.add_matte((0.14, 0.21, 0.87), sigma=sigma)
+    mirror = b.add_mirror((0.2, 0.8, 0.2))
+    return dict(white=white, dragon=dragon, red=red, blue=blue, mirror=mirror)
+
+
+def cornell_box(width=500, height=500, sigma=60.0, skybox=True,
+                dragon_material=None, bvh=False, mesh=None, mesh_transform=None):
+    """The reference default scene minus the (missing) dragon mesh:
+    Cornell box + 2-triangle area light + SkyBoxLight, camera at
+    (0,0,5) looking at origin, fov 90 (RenderThread.cpp:52-68).
+
+    mesh: optional (vertices, triangles) to place like AddModel does
+    (translate (0,-2.9,0), ModelList.cpp:56).
+    """
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=sigma)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])  # reference passes dragonMaterial
+    if mesh is not None:
+        v, t = mesh
+        xf = mesh_transform if mesh_transform is not None else _translate([0.0, -2.9, 0.0])
+        mat = dragon_material if dragon_material is not None else mats["dragon"]
+        b.add_mesh(v, t, mat, transform=xf)
+    if skybox:
+        b.add_skybox_light()
+    scene = b.build(bvh=bvh)
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0))
+    return scene, cam
+
+
+def sphere_point_light(width=64, height=64):
+    """BASELINE config 1: single matte sphere + PointLight."""
+    b = SceneBuilder()
+    m = b.add_matte((0.7, 0.5, 0.4), sigma=0.0)
+    b.add_sphere((0.0, 0.0, 0.0), 1.0, m)
+    b.add_point_light((2.0, 3.0, 4.0), (40.0, 40.0, 40.0))
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam

@@ -1,0 +1,375 @@
+"""Scene as a pytree of SoA device arrays.
+
+The reference's pointer-based object graph (Scene -> Primitive -> Shape /
+Material / AreaLight, /root/reference/core/Scene.h, core/Primitive.h) is
+replaced by flat tables: triangles carry int32 ids into material / light
+tables, hit records gather per-hit parameters by id.  NamedTuples of
+arrays are native JAX pytrees, so the whole scene jits, shards, and
+differentiates as a value.
+
+Differentiable leaves: material table columns (kd, roughness, eta, ...),
+light emission, env-map texels.  Geometry (vertices, indices, ids) is
+treated as data; gradients w.r.t. vertices flow too but are not the round-1
+target.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Material kinds (models/materials.py implements their lobe assemblies,
+# mirroring /root/reference/materials/*.cpp)
+MAT_MATTE = 0
+MAT_MIRROR = 1
+MAT_GLASS = 2
+MAT_METAL = 3
+MAT_PLASTIC = 4
+MAT_DISNEY = 5
+
+# Light kinds (/root/reference/lights/*)
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DISTANT = 2
+LIGHT_AREA = 3
+LIGHT_INFINITE = 4
+LIGHT_SKYBOX = 5
+
+
+class Geometry(NamedTuple):
+    vertices: jnp.ndarray        # (V,3) f32, world space (pre-transformed,
+                                 #  like reference TriangleMesh ctor shape/Triangle.h:12-29)
+    triangles: jnp.ndarray       # (T,3) i32
+    normals: Optional[jnp.ndarray]   # (V,3) shading normals or None
+    uvs: Optional[jnp.ndarray]       # (V,2) or None
+    tri_mat: jnp.ndarray         # (T,) i32 material id
+    tri_light: jnp.ndarray       # (T,) i32 area-light id or -1
+    sph_center: jnp.ndarray      # (S,3)
+    sph_radius: jnp.ndarray      # (S,)
+    sph_mat: jnp.ndarray         # (S,) i32
+    sph_light: jnp.ndarray       # (S,) i32
+
+
+class MaterialTable(NamedTuple):
+    """One row per material; columns cover the union of the six reference
+    material parameter sets (materials/*.cpp).  Unused columns are zero."""
+    kind: jnp.ndarray      # (M,) i32
+    kd: jnp.ndarray        # (M,3) diffuse / base color
+    sigma: jnp.ndarray     # (M,) Oren-Nayar sigma (degrees)
+    kr: jnp.ndarray        # (M,3) specular reflect scale
+    kt: jnp.ndarray        # (M,3) specular transmit scale
+    ks: jnp.ndarray        # (M,3) glossy scale
+    eta: jnp.ndarray       # (M,) dielectric IOR
+    eta3: jnp.ndarray      # (M,3) conductor eta
+    k3: jnp.ndarray        # (M,3) conductor absorption
+    rough_u: jnp.ndarray   # (M,)
+    rough_v: jnp.ndarray   # (M,)
+    remap_rough: jnp.ndarray  # (M,) 1.0 if roughness->alpha remap applies
+    kd_tex: jnp.ndarray    # (M,) i32 texture id for kd, or -1
+    # Disney 2015 extras (materials/DisneyMaterial.h:17)
+    metallic: jnp.ndarray       # (M,)
+    spec_trans: jnp.ndarray     # (M,)
+    specular_tint: jnp.ndarray  # (M,)
+    anisotropic: jnp.ndarray    # (M,)
+    sheen: jnp.ndarray          # (M,)
+    sheen_tint: jnp.ndarray     # (M,)
+    clearcoat: jnp.ndarray      # (M,)
+    clearcoat_gloss: jnp.ndarray  # (M,)
+    flatness: jnp.ndarray       # (M,)
+    diff_trans: jnp.ndarray     # (M,)
+    thin: jnp.ndarray           # (M,) 1.0 if thin surface
+
+
+class LightTable(NamedTuple):
+    kind: jnp.ndarray       # (L,) i32
+    pos: jnp.ndarray        # (L,3) point/spot world position
+    emit: jnp.ndarray       # (L,3) I (point/spot), L (distant/area Lemit)
+    axis: jnp.ndarray       # (L,3) spot axis / distant wLight direction
+    tri: jnp.ndarray        # (L,) i32 area-light triangle id or -1
+    two_sided: jnp.ndarray  # (L,)
+    cos_falloff: jnp.ndarray  # (L,) spot cosFalloffStart
+    cos_total: jnp.ndarray    # (L,) spot cosTotalWidth
+    scale: jnp.ndarray      # (L,) extra radiance scale (skybox 1/10 etc.)
+
+
+class EnvMap(NamedTuple):
+    """Infinite area light env map + importance-sampling CDFs
+    (lights/InfiniteAreaLight.cpp:62-121)."""
+    image: jnp.ndarray          # (H,W,3) radiance texels
+    cond_func: jnp.ndarray      # Distribution2D pieces over the luminance*sin
+    cond_cdf: jnp.ndarray
+    cond_int: jnp.ndarray
+    marg_cdf: jnp.ndarray
+    marg_int: jnp.ndarray
+    world_to_light: jnp.ndarray  # (4,4)
+    light_to_world: jnp.ndarray  # (4,4)
+
+
+class Scene(NamedTuple):
+    geom: Geometry
+    materials: MaterialTable
+    lights: LightTable
+    env: Optional[EnvMap]
+    textures: Optional[jnp.ndarray]  # (K,H,W,3) stacked same-size textures or None
+    world_center: jnp.ndarray  # (3,)
+    world_radius: jnp.ndarray  # ()
+    bvh: Optional[tuple]  # BVH arrays (ops/bvh.py) or None -> brute force
+
+    @property
+    def n_lights(self):
+        return self.lights.kind.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+class SceneBuilder:
+    """Accumulates host-side numpy geometry/material/light data, then
+    freezes into the Scene pytree.  Plays the role of the reference's
+    ui/ModelList.cpp scene-construction helpers."""
+
+    def __init__(self):
+        self.vertices = []
+        self.triangles = []
+        self.normals = []
+        self.uvs = []
+        self.tri_mat = []
+        self.tri_light = []
+        self.sph = []  # (center, radius, mat, light)
+        self.materials = []  # dicts
+        self.lights = []  # dicts
+        self.env = None
+        self._vtx_count = 0
+        self._has_normals = False
+        self._has_uvs = False
+
+    # -- materials ---------------------------------------------------------
+
+    def add_material(self, kind, **kw):
+        m = dict(
+            kind=kind, kd=(0.5, 0.5, 0.5), sigma=0.0, kr=(1.0, 1.0, 1.0),
+            kt=(1.0, 1.0, 1.0), ks=(1.0, 1.0, 1.0), eta=1.5,
+            eta3=(1.0, 1.0, 1.0), k3=(1.0, 1.0, 1.0), rough_u=0.0,
+            rough_v=0.0, remap_rough=1.0, kd_tex=-1,
+            metallic=0.0, spec_trans=0.0, specular_tint=0.0, anisotropic=0.0,
+            sheen=0.0, sheen_tint=0.5, clearcoat=0.0, clearcoat_gloss=1.0,
+            flatness=0.0, diff_trans=1.0, thin=0.0,
+        )
+        m.update(kw)
+        self.materials.append(m)
+        return len(self.materials) - 1
+
+    def add_matte(self, kd, sigma=0.0):
+        return self.add_material(MAT_MATTE, kd=kd, sigma=sigma)
+
+    def add_mirror(self, kr=(0.9, 0.9, 0.9)):
+        return self.add_material(MAT_MIRROR, kr=kr)
+
+    def add_glass(self, kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5,
+                  rough_u=0.0, rough_v=0.0):
+        return self.add_material(MAT_GLASS, kr=kr, kt=kt, eta=eta,
+                                 rough_u=rough_u, rough_v=rough_v)
+
+    def add_metal(self, eta3, k3, roughness=0.01):
+        return self.add_material(MAT_METAL, eta3=eta3, k3=k3,
+                                 rough_u=roughness, rough_v=roughness)
+
+    def add_plastic(self, kd, ks=(1.0, 1.0, 1.0), roughness=0.1):
+        return self.add_material(MAT_PLASTIC, kd=kd, ks=ks, rough_u=roughness,
+                                 rough_v=roughness)
+
+    def add_disney(self, color, **kw):
+        return self.add_material(MAT_DISNEY, kd=color, **kw)
+
+    # -- geometry ----------------------------------------------------------
+
+    def add_mesh(self, vertices, triangles, material, light=-1, transform=None,
+                 normals=None, uvs=None):
+        """vertices (V,3), triangles (T,3) int; optional 4x4 transform applied
+        host-side (reference TriangleMesh pre-transforms, shape/Triangle.h:12)."""
+        v = np.asarray(vertices, np.float64)
+        if transform is not None:
+            t = np.asarray(transform, np.float64)
+            v = v @ t[:3, :3].T + t[:3, 3]
+        tri = np.asarray(triangles, np.int64).reshape(-1, 3)
+        base = self._vtx_count
+        self.vertices.append(v.astype(np.float32))
+        self.triangles.append((tri + base).astype(np.int32))
+        n = len(tri)
+        self.tri_mat.append(np.full(n, material, np.int32))
+        self.tri_light.append(np.full(n, light, np.int32))
+        if normals is not None:
+            nr = np.asarray(normals, np.float64)
+            if transform is not None:
+                t = np.asarray(transform, np.float64)
+                inv_t = np.linalg.inv(t[:3, :3]).T
+                nr = nr @ inv_t.T
+                nr /= np.linalg.norm(nr, axis=1, keepdims=True)
+            self.normals.append(nr.astype(np.float32))
+            self._has_normals = True
+        else:
+            self.normals.append(None)
+        if uvs is not None:
+            self.uvs.append(np.asarray(uvs, np.float32))
+            self._has_uvs = True
+        else:
+            self.uvs.append(None)
+        self._vtx_count += len(v)
+        first_tri = sum(len(t) for t in self.triangles[:-1])
+        return first_tri, n  # triangle id range
+
+    def add_sphere(self, center, radius, material, light=-1):
+        self.sph.append((np.asarray(center, np.float32), float(radius),
+                         int(material), int(light)))
+        return len(self.sph) - 1
+
+    # -- lights ------------------------------------------------------------
+
+    def _light(self, kind, **kw):
+        l = dict(kind=kind, pos=(0.0, 0.0, 0.0), emit=(0.0, 0.0, 0.0),
+                 axis=(0.0, 0.0, 1.0), tri=-1, two_sided=0.0,
+                 cos_falloff=1.0, cos_total=0.0, scale=1.0)
+        l.update(kw)
+        self.lights.append(l)
+        return len(self.lights) - 1
+
+    def add_point_light(self, pos, intensity):
+        return self._light(LIGHT_POINT, pos=pos, emit=intensity)
+
+    def add_spot_light(self, pos, axis, intensity, total_width_deg, falloff_start_deg):
+        return self._light(
+            LIGHT_SPOT, pos=pos, axis=axis, emit=intensity,
+            cos_total=float(np.cos(np.deg2rad(total_width_deg))),
+            cos_falloff=float(np.cos(np.deg2rad(falloff_start_deg))),
+        )
+
+    def add_distant_light(self, w_light, radiance):
+        return self._light(LIGHT_DISTANT, axis=w_light, emit=radiance)
+
+    def add_area_light_tri(self, tri_id, l_emit, two_sided=False):
+        return self._light(LIGHT_AREA, emit=l_emit, tri=tri_id,
+                           two_sided=1.0 if two_sided else 0.0)
+
+    def add_skybox_light(self, scale=1.0):
+        """The reference SkyBoxLight with its image-load failure fallback:
+        Le = position gradient on the world sphere (SkyBoxLight.cpp:55-87),
+        Sample_Li black (no image data). scale kept for completeness."""
+        return self._light(LIGHT_SKYBOX, scale=scale)
+
+    def set_environment(self, image, light_to_world=None, scale=1.0):
+        self.env = (np.asarray(image, np.float32) * scale, light_to_world)
+        return self._light(LIGHT_INFINITE)
+
+    # -- freeze ------------------------------------------------------------
+
+    def build(self, bvh=False):
+        from ..ops.sampling import make_distribution2d
+
+        if self.vertices:
+            verts = np.concatenate(self.vertices, 0)
+            tris = np.concatenate(self.triangles, 0)
+            tri_mat = np.concatenate(self.tri_mat, 0)
+            tri_light = np.concatenate(self.tri_light, 0)
+        else:
+            verts = np.zeros((3, 3), np.float32)
+            tris = np.zeros((1, 3), np.int32)
+            tri_mat = np.zeros(1, np.int32)
+            tri_light = np.full(1, -1, np.int32)
+
+        normals = None
+        if self._has_normals:
+            parts = []
+            for i, v in enumerate(self.vertices):
+                n = self.normals[i]
+                parts.append(n if n is not None else np.zeros_like(v))
+            normals = np.concatenate(parts, 0)
+        uvs = None
+        if self._has_uvs:
+            parts = []
+            for i, v in enumerate(self.vertices):
+                u = self.uvs[i]
+                parts.append(u if u is not None else np.zeros((len(v), 2), np.float32))
+            uvs = np.concatenate(parts, 0)
+
+        if self.sph:
+            sc = np.stack([s[0] for s in self.sph])
+            sr = np.asarray([s[1] for s in self.sph], np.float32)
+            sm = np.asarray([s[2] for s in self.sph], np.int32)
+            sl = np.asarray([s[3] for s in self.sph], np.int32)
+        else:
+            sc = np.zeros((0, 3), np.float32)
+            sr = np.zeros((0,), np.float32)
+            sm = np.zeros((0,), np.int32)
+            sl = np.zeros((0,), np.int32)
+
+        geom = Geometry(
+            vertices=jnp.asarray(verts), triangles=jnp.asarray(tris),
+            normals=None if normals is None else jnp.asarray(normals),
+            uvs=None if uvs is None else jnp.asarray(uvs),
+            tri_mat=jnp.asarray(tri_mat), tri_light=jnp.asarray(tri_light),
+            sph_center=jnp.asarray(sc), sph_radius=jnp.asarray(sr),
+            sph_mat=jnp.asarray(sm), sph_light=jnp.asarray(sl),
+        )
+
+        if not self.materials:
+            self.add_matte((0.5, 0.5, 0.5))
+        cols = {k: [] for k in MaterialTable._fields}
+        for m in self.materials:
+            for k in cols:
+                cols[k].append(m[k])
+        mat = MaterialTable(**{
+            k: jnp.asarray(np.asarray(v, np.int32 if k in ("kind", "kd_tex") else np.float32))
+            for k, v in cols.items()
+        })
+
+        if not self.lights:
+            self._light(LIGHT_POINT, emit=(0.0, 0.0, 0.0))
+        lcols = {k: [] for k in LightTable._fields}
+        for l in self.lights:
+            for k in lcols:
+                lcols[k].append(l[k])
+        lights = LightTable(**{
+            k: jnp.asarray(np.asarray(v, np.int32 if k in ("kind", "tri") else np.float32))
+            for k, v in lcols.items()
+        })
+
+        env = None
+        if self.env is not None:
+            img, l2w = self.env
+            if l2w is None:
+                l2w = np.eye(4, dtype=np.float32)
+            h, w = img.shape[:2]
+            # luminance * sin(theta) importance image, 2x resolution per the
+            # reference (InfiniteAreaLight.cpp:62-82) simplified to 1x here
+            lum = img @ np.asarray([0.212671, 0.715160, 0.072169], np.float32)
+            sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h).astype(np.float32)
+            d2 = make_distribution2d(jnp.asarray(lum * sin_theta[:, None]))
+            env = EnvMap(
+                image=jnp.asarray(img),
+                cond_func=d2.cond_func, cond_cdf=d2.cond_cdf, cond_int=d2.cond_int,
+                marg_cdf=d2.marg_cdf, marg_int=d2.marg_int,
+                world_to_light=jnp.asarray(np.linalg.inv(l2w).astype(np.float32)),
+                light_to_world=jnp.asarray(np.asarray(l2w, np.float32)),
+            )
+
+        # world bounds -> bounding sphere (Scene ctor caches worldBound)
+        pts = [verts] if len(verts) else []
+        if len(sc):
+            pts += [sc - sr[:, None], sc + sr[:, None]]
+        allp = np.concatenate(pts, 0) if pts else np.zeros((1, 3), np.float32)
+        lo, hi = allp.min(0), allp.max(0)
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - center))
+
+        bvh_arrays = None
+        if bvh:
+            from ..ops.bvh import build_bvh
+            bvh_arrays = build_bvh(verts, tris)
+
+        return Scene(
+            geom=geom, materials=mat, lights=lights, env=env, textures=None,
+            world_center=jnp.asarray(center, jnp.float32),
+            world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
+            bvh=bvh_arrays,
+        )
