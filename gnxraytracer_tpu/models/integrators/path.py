@@ -55,6 +55,7 @@ class RenderCfg(NamedTuple):
     reference_area_bug: bool = True
     spp_chunk: int = 4
     light_strategy: str = "uniform"  # uniform | power
+    has_media: bool = False
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -95,6 +96,7 @@ def make_config(scene, width, height, spp, **kw):
         n_sphs=int(scene.geom.sph_center.shape[0]),
         n_lights=int(scene.lights.kind.shape[0]),
         use_bvh=scene.bvh is not None,
+        has_media=scene.media is not None,
         **kw,
     )
 
@@ -199,6 +201,10 @@ class PathState(NamedTuple):
 def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     """Trace one wavefront of paths to completion. Returns (N,3) radiance."""
     n = o.shape[0]
+    # Precompute every sampler dimension for the whole wavefront (static
+    # bases -> short digit loops, no big-table gathers inside the loop).
+    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
     state = PathState(
         o=o, d=d,
         beta=jnp.ones((n, 3), jnp.float32),
@@ -235,9 +241,10 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         # NEE (skip for perfectly specular BSDFs, PathIntegrator.cpp:138)
         wo_local = trace.to_local(it, it.wo)
         has_ns = mat_mod.has_nonspecular(scene.materials, it.mat, cfg)
-        u_sel = samplers.sample_dim(sampler, pixel, sample, base + 0)
-        u_light = samplers.sample_2d(sampler, pixel, sample, base + 1)
-        u_scat = samplers.sample_2d(sampler, pixel, sample, base + 3)
+        ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base), (n, DIMS_PER_BOUNCE))
+        u_sel = ub[:, 0]
+        u_light = ub[:, 1:3]
+        u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
         ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx)
         nee_ok = alive & has_ns
@@ -248,7 +255,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         )
 
         # extension: sample the BSDF
-        u_bsdf = samplers.sample_2d(sampler, pixel, sample, base + 5)
+        u_bsdf = ub[:, 5:7]
         smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
                              u_bsdf[..., 0])
         cos_factor = jnp.ones_like(smp.pdf)  # folded into smp.weight
@@ -270,7 +277,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
         do_rr = (rr_beta_max < cfg.rr_threshold) & (b > 3)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = samplers.sample_dim(sampler, pixel, sample, base + 7)
+        u_rr = ub[:, 7]
         killed = do_rr & (u_rr < q)
         beta = jnp.where(
             (do_rr & ~killed)[..., None],

@@ -1,0 +1,260 @@
+"""Wavefront volumetric path integrator.
+
+Re-design of the reference VolPathIntegrator
+(/root/reference/integrators/VolPathIntegrator.cpp:24-159): each bounce
+first samples the lane's current medium along the segment to the next
+surface (delta tracking for grids); medium events do NEE with
+Tr-attenuated shadow rays + Henyey-Greenstein phase sampling; surface
+events behave like the surface path integrator.  Media transitions happen
+at null-material boundaries (mat id < 0) carrying a MediumInterface
+(core/Medium.h:70-79 semantics via the tri_medium table).
+
+Round-1 simplifications (documented deviations):
+  * null-boundary crossings consume a bounce (the reference re-loops
+    without counting, PathIntegrator.cpp:121-126) — compensate by raising
+    max_depth;
+  * shadow-ray Tr accounts for the lane's current medium over the segment
+    (grid media are exactly bounded by their [0,1]^3 box via ray clipping);
+    chains of nested homogeneous shells along one shadow ray are not yet
+    walked boundary-by-boundary.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import INFINITY
+from ...ops import rng, samplers, trace
+from ...ops.sampling import power_heuristic
+from ...scene import camera as cam_mod
+from ...utils.math import absdot, dot
+from .. import lights as lights_mod
+from .. import materials as mat_mod
+from .. import media as media_mod
+from .path import CAMERA_DIMS, DIMS_PER_BOUNCE, RenderCfg, _choose_light, make_config  # noqa: F401
+
+
+def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
+                lane_key, bounce, seed):
+    """UniformSampleOneLight at a medium vertex (handleMedia=true):
+    light-sample strategy with phase eval + Tr visibility, plus
+    phase-sample strategy MIS (core/Integrator.cpp:124-131,172-177)."""
+    n = p.shape[0]
+    light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+    ls = lights_mod.sample_li(scene, cfg, light_idx, p, u_light)
+    cos_t = dot(wo, ls.wi)
+    phase_p = media_mod.hg_p(cos_t, g_hg)
+    # visibility with transmittance
+    to_t = ls.target - p
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to_t * to_t, -1), 1e-20))
+    sd = to_t / dist[:, None]
+    st = jnp.where(ls.is_infinite, jnp.full_like(dist, INFINITY), dist * (1 - 1e-3))
+    occ = trace.scene_occluded(scene, cfg, p, sd, st)
+    tr = media_mod.medium_tr(scene.media, medium_id, p, sd, st, lane_key,
+                             bounce * 7 + 1, seed)
+    w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf, 1.0, phase_p))
+    ld = (
+        phase_p[..., None] * ls.li * tr
+        * (w_l / jnp.maximum(ls.pdf, 1e-12))[..., None]
+    )
+    ok = (ls.pdf > 0) & (phase_p > 0) & ~occ
+    ld = jnp.where(ok[..., None], ld, 0.0)
+
+    # strategy 2: phase sampling toward the chosen (area) light
+    wi2, p2 = media_mod.hg_sample(wo, u_scat, g_hg)
+    l_pdf2 = lights_mod.pdf_li(scene, cfg, light_idx, p, wi2)
+    w_b = power_heuristic(1.0, p2, 1.0, l_pdf2)
+    bhit = trace.scene_intersect(scene, cfg, p, wi2, jnp.full((n,), INFINITY))
+    li_b = jnp.zeros((n, 3), jnp.float32)
+    if cfg.has_area:
+        hit_tri = bhit.hit & (bhit.kind == trace.PRIM_TRI)
+        tl = jnp.where(hit_tri, scene.geom.tri_light[jnp.where(hit_tri, bhit.prim, 0)], -1)
+        same = hit_tri & (tl == light_idx)
+        tri = scene.geom.triangles[jnp.where(same, bhit.prim, 0)]
+        p0 = scene.geom.vertices[tri[:, 0]]
+        p1 = scene.geom.vertices[tri[:, 1]]
+        p2v = scene.geom.vertices[tri[:, 2]]
+        from ...utils.math import normalize as _nrm
+
+        nl = _nrm(jnp.cross(p1 - p0, p2v - p0))
+        le = lights_mod.area_light_emitted(scene, light_idx, nl, -wi2,
+                                           cfg.reference_area_bug)
+        tr2 = media_mod.medium_tr(scene.media, medium_id, p, wi2, bhit.t,
+                                  lane_key, bounce * 7 + 2, seed)
+        li_b = jnp.where(same[..., None], le * tr2, li_b)
+    ld = ld + jnp.where((p2 > 0)[..., None], li_b * (w_b)[..., None], 0.0)
+    return ld / jnp.maximum(light_pdf, 1e-12)[..., None]
+
+
+def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+    n = o.shape[0]
+    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
+    lane_key = rng.hash_combine(pixel, sample).astype(jnp.int32)
+    seed = 0x5EED
+
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        L=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        specular=jnp.zeros((n,), bool),
+        eta_scale=jnp.ones((n,), jnp.float32),
+        medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+    )
+
+    def bounce(b, state):
+        base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
+        ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base), (n, DIMS_PER_BOUNCE))
+        hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
+                                    jnp.full((n,), INFINITY))
+        it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
+        L = state["L"]
+        beta = state["beta"]
+
+        # ---- medium sampling along the segment ---------------------------
+        if cfg.has_media:
+            ms = media_mod.sample_medium(scene.media, state["medium"],
+                                         state["o"], state["d"], hit.t,
+                                         lane_key, b, seed)
+            beta = beta * jnp.where(state["alive"][:, None], ms.weight, 1.0)
+            med_event = state["alive"] & ms.sampled_medium
+        else:
+            med_event = jnp.zeros((n,), bool)
+
+        surf_lane = state["alive"] & ~med_event
+
+        # ---- emission (surface lanes, bounce 0 / specular) ---------------
+        emit_ok = surf_lane & ((b == 0) | state["specular"])
+        if cfg.has_area:
+            is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (it.light >= 0)
+            le = lights_mod.area_light_emitted(
+                scene, jnp.maximum(it.light, 0), it.ng, -state["d"],
+                cfg.reference_area_bug)
+            L = L + jnp.where((emit_ok & is_emitter)[..., None], beta * le, 0.0)
+        if cfg.has_skybox or cfg.has_env:
+            esc = emit_ok & ~hit.hit
+            le_inf = lights_mod.escaped_radiance(scene, cfg, state["o"], state["d"])
+            L = L + jnp.where(esc[..., None], beta * le_inf, 0.0)
+
+        depth_ok = b < cfg.max_depth
+        alive = state["alive"] & (med_event | hit.hit) & depth_ok
+
+        u_sel = ub[:, 0]
+        u_light = ub[:, 1:3]
+        u_scat = ub[:, 3:5]
+        u_bsdf = ub[:, 5:7]
+        u_rr = ub[:, 7]
+
+        # ---- medium vertex: NEE + phase sampling -------------------------
+        if cfg.has_media:
+            p_med = state["o"] + ms.t[:, None] * state["d"]
+            mid = jnp.maximum(state["medium"], 0)
+            g_hg = scene.media.g[mid]
+            wo = -state["d"]
+            ld_med = _medium_nee(scene, cfg, p_med, wo, g_hg, state["medium"],
+                                 u_sel, u_light, u_scat, lane_key, b, seed)
+            L = L + jnp.where((alive & med_event)[..., None], beta * ld_med, 0.0)
+            wi_med, _p = media_mod.hg_sample(wo, u_bsdf, g_hg)
+
+        # ---- surface vertex ----------------------------------------------
+        is_null = it.mat < 0  # null-material boundary: pass through
+        wo_local = trace.to_local(it, it.wo)
+        has_ns = mat_mod.has_nonspecular(scene.materials,
+                                         jnp.maximum(it.mat, 0), cfg)
+        light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+        from .path import estimate_direct
+
+        it_safe = it._replace(mat=jnp.maximum(it.mat, 0))
+        ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light, u_scat,
+                             light_idx)
+        nee_ok = alive & surf_lane & hit.hit & has_ns & ~is_null
+        L = L + jnp.where(nee_ok[..., None],
+                          beta * ld / jnp.maximum(light_pdf, 1e-12)[..., None], 0.0)
+
+        smp = mat_mod.sample(scene.materials, jnp.maximum(it.mat, 0), cfg,
+                             wo_local, u_bsdf, u_bsdf[..., 0])
+        wi_surf = trace.to_world(it, smp.wi)
+        # null boundary: continue straight through, no throughput change
+        wi_world = jnp.where(is_null[:, None], state["d"], wi_surf)
+        beta_next = jnp.where(
+            (surf_lane & ~is_null)[:, None], beta * smp.weight, beta
+        )
+        surf_valid = jnp.where(is_null, True, smp.valid)
+        specular = jnp.where(is_null, state["specular"], smp.specular)
+
+        # medium transitions at boundary crossings (tri only)
+        if cfg.has_media:
+            is_tri = hit.kind == trace.PRIM_TRI
+            tmed = scene.geom.tri_medium[jnp.where(is_tri, hit.prim, 0)]
+            entering = dot(wi_world, it.ng) < 0
+            crossed = dot(wi_world, it.ng) * dot(-state["d"], it.ng) < 0
+            new_med = jnp.where(entering, tmed[:, 0], tmed[:, 1])
+            medium = jnp.where(
+                surf_lane & hit.hit & is_tri & crossed, new_med, state["medium"]
+            )
+        else:
+            medium = state["medium"]
+
+        # merge medium + surface continuations
+        no_s, nd_s = trace.spawn_ray(it, wi_world)
+        if cfg.has_media:
+            no = jnp.where(med_event[:, None], p_med, no_s)
+            nd = jnp.where(med_event[:, None], wi_med, nd_s)
+            specular = jnp.where(med_event, False, specular)
+        else:
+            no, nd = no_s, nd_s
+        valid = jnp.where(med_event, True, surf_valid)
+        alive = alive & valid & jnp.any(beta_next > 0, axis=-1)
+
+        # etaScale + RR (as surface path)
+        entering_s = dot(it.wo, it.ng) > 0
+        es_up = jnp.where(entering_s, smp.eta * smp.eta,
+                          1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
+        eta_scale = jnp.where(surf_lane & smp.specular & smp.transmission,
+                              state["eta_scale"] * es_up, state["eta_scale"])
+        rr_max = jnp.max(beta_next * eta_scale[:, None], axis=-1)
+        do_rr = (rr_max < cfg.rr_threshold) & (b > 3)
+        q = jnp.maximum(0.05, 1.0 - rr_max)
+        killed = do_rr & (u_rr < q)
+        beta_next = jnp.where((do_rr & ~killed)[:, None],
+                              beta_next / jnp.maximum(1.0 - q, 1e-6)[:, None],
+                              beta_next)
+        alive = alive & ~killed
+
+        return dict(
+            o=jnp.where(alive[:, None], no, state["o"]),
+            d=jnp.where(alive[:, None], nd, state["d"]),
+            beta=jnp.where(alive[:, None], beta_next, beta),
+            L=L,
+            alive=alive,
+            specular=jnp.where(alive, specular, state["specular"]),
+            eta_scale=jnp.where(alive, eta_scale, state["eta_scale"]),
+            medium=jnp.where(alive, medium, state["medium"]),
+        )
+
+    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+    return state["L"]
+
+
+def render_chunk(scene, camera, sampler, cfg, sample_start, n_samples):
+    hw = cfg.width * cfg.height
+    pixel = jnp.tile(jnp.arange(hw, dtype=jnp.int32), (n_samples,))
+    sample = jnp.repeat(sample_start + jnp.arange(n_samples, dtype=jnp.int32), hw)
+    p_film, t_u, l_u = samplers.camera_sample(sampler, pixel, sample, cfg.width)
+    o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
+    L = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
+    return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+
+
+_render_chunk_jit = jax.jit(render_chunk, static_argnames=("cfg", "n_samples"))
+
+
+def render(scene, camera, sampler, cfg):
+    hw = cfg.width * cfg.height
+    acc = jnp.zeros((hw, 3), jnp.float32)
+    s = 0
+    while s < cfg.spp:
+        ns = min(cfg.spp_chunk, cfg.spp - s)
+        acc = acc + _render_chunk_jit(scene, camera, sampler, cfg, s, ns)
+        s += ns
+    return (acc / cfg.spp).reshape(cfg.height, cfg.width, 3)

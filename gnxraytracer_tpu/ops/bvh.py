@@ -1,0 +1,380 @@
+"""BVH: host-side SAH build -> SoA arrays; lockstep stack traversal on device.
+
+Design per SURVEY.md §7 item 4: the reference's pointer-based build +
+recursive flatten (/root/reference/accelerator/BVHAccel.cpp:147-646) becomes
+
+  * a host-side numpy SAH builder (12-bucket surface-area heuristic, same
+    cost model as BVHAccel.cpp:270-357) emitting the flattened depth-first
+    layout as separate arrays (SoA mirror of the 32-byte LinearBVHNode,
+    BVHAccel.cpp:54-65): bounds_lo/hi, offset (leaf: first prim; interior:
+    second child), n_prims, axis, plus the reordered primitive index list;
+
+  * a device-side traversal where *all rays step in lockstep*: each lane
+    keeps a node cursor + fixed-depth stack in registers, pops/pushes with
+    where-masks inside one lax.while_loop — the TPU-friendly replacement
+    for the reference's divergent 64-deep stack walk (BVHAccel.cpp:653-729).
+
+Leaves hold up to LEAF_SIZE prims so leaf processing is a fixed-size masked
+intersection (no per-lane variable loops).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import INFINITY
+from .intersect import TriHit, _permute_shear
+
+LEAF_SIZE = 4
+MAX_STACK = 48
+
+
+class BVH(NamedTuple):
+    bounds_lo: jnp.ndarray  # (NN,3)
+    bounds_hi: jnp.ndarray  # (NN,3)
+    offset: jnp.ndarray     # (NN,) int32 leaf->prim start | interior->2nd child
+    n_prims: jnp.ndarray    # (NN,) int32 (0 = interior)
+    axis: jnp.ndarray       # (NN,) int32 split axis
+    prim_idx: jnp.ndarray   # (T_padded,) int32 reordered triangle ids (-1 pad)
+
+
+# ---------------------------------------------------------------------------
+# Host build (numpy)
+# ---------------------------------------------------------------------------
+
+def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):
+    """SAH BVH over triangles; returns BVH arrays (device)."""
+    try:
+        from ..native import bvh_native
+
+        built = bvh_native.build(np.asarray(vertices, np.float32),
+                                 np.asarray(triangles, np.int32), leaf_size)
+        if built is not None:
+            return BVH(*(jnp.asarray(a) for a in built))
+    except Exception:
+        pass
+    return BVH(*(jnp.asarray(a) for a in build_bvh_numpy(vertices, triangles,
+                                                         leaf_size)))
+
+
+def build_bvh_numpy(vertices, triangles, leaf_size=LEAF_SIZE):
+    v = np.asarray(vertices, np.float64)
+    t = np.asarray(triangles, np.int64)
+    p0, p1, p2 = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    centroid = 0.5 * (lo + hi)
+    n = len(t)
+
+    # growable node arrays
+    nodes_lo, nodes_hi, nodes_off, nodes_np, nodes_ax = [], [], [], [], []
+    order = []
+
+    def new_node():
+        nodes_lo.append(np.zeros(3))
+        nodes_hi.append(np.zeros(3))
+        nodes_off.append(0)
+        nodes_np.append(0)
+        nodes_ax.append(0)
+        return len(nodes_lo) - 1
+
+    def build(idx):
+        """idx: array of triangle indices for this subtree. Returns node id.
+        Iterative would be faster; recursion depth ~ log2(T) w/ SAH splits,
+        but degenerate cases can go deep -> guard with median fallback."""
+        me = new_node()
+        b_lo = lo[idx].min(0)
+        b_hi = hi[idx].max(0)
+        nodes_lo[me] = b_lo
+        nodes_hi[me] = b_hi
+        if len(idx) <= leaf_size:
+            nodes_off[me] = len(order)
+            nodes_np[me] = len(idx)
+            order.extend(idx.tolist())
+            return me
+        c = centroid[idx]
+        c_lo, c_hi = c.min(0), c.max(0)
+        dim = int(np.argmax(c_hi - c_lo))
+        if c_hi[dim] - c_lo[dim] < 1e-12:
+            # degenerate: all centroids identical -> leaf (reference does the
+            # same, BVHAccel.cpp:231-246 path)
+            nodes_off[me] = len(order)
+            nodes_np[me] = len(idx)
+            order.extend(idx.tolist())
+            return me
+        # 12-bucket SAH (BVHAccel.cpp:270-357 cost model)
+        nb = 12
+        which = np.minimum(
+            (nb * (c[:, dim] - c_lo[dim]) / (c_hi[dim] - c_lo[dim])).astype(int),
+            nb - 1,
+        )
+        counts = np.bincount(which, minlength=nb)
+        blo = np.full((nb, 3), np.inf)
+        bhi = np.full((nb, 3), -np.inf)
+        for bkt in range(nb):
+            m = which == bkt
+            if m.any():
+                blo[bkt] = lo[idx][m].min(0)
+                bhi[bkt] = hi[idx][m].max(0)
+
+        def area(l, h):
+            d = np.maximum(h - l, 0)
+            return 2 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
+
+        cost = np.empty(nb - 1)
+        for i in range(nb - 1):
+            l_lo = blo[: i + 1][counts[: i + 1] > 0]
+            l_hi = bhi[: i + 1][counts[: i + 1] > 0]
+            r_lo = blo[i + 1:][counts[i + 1:] > 0]
+            r_hi = bhi[i + 1:][counts[i + 1:] > 0]
+            c0 = counts[: i + 1].sum()
+            c1 = counts[i + 1:].sum()
+            a0 = area(l_lo.min(0), l_hi.max(0)) if c0 else 0.0
+            a1 = area(r_lo.min(0), r_hi.max(0)) if c1 else 0.0
+            cost[i] = 1 + (c0 * a0 + c1 * a1) / max(area(b_lo, b_hi), 1e-12)
+        split = int(np.argmin(cost))
+        leaf_cost = len(idx)
+        if cost[split] >= leaf_cost and len(idx) <= 2 * leaf_size:
+            nodes_off[me] = len(order)
+            nodes_np[me] = len(idx)
+            order.extend(idx.tolist())
+            return me
+        left_mask = which <= split
+        if not left_mask.any() or left_mask.all():
+            half = len(idx) // 2
+            srt = idx[np.argsort(c[:, dim])]
+            li, ri = srt[:half], srt[half:]
+        else:
+            li, ri = idx[left_mask], idx[~left_mask]
+        nodes_ax[me] = dim
+        build(li)
+        second = build(ri)
+        nodes_off[me] = second
+        nodes_np[me] = 0
+        return me
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    try:
+        build(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old)
+
+    # pad prim order to multiple of leaf_size with -1
+    pad = (-len(order)) % leaf_size
+    order_arr = np.asarray(order + [-1] * pad, np.int32)
+    return (
+        np.asarray(nodes_lo, np.float32),
+        np.asarray(nodes_hi, np.float32),
+        np.asarray(nodes_off, np.int32),
+        np.asarray(nodes_np, np.int32),
+        np.asarray(nodes_ax, np.int32),
+        order_arr,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device traversal
+# ---------------------------------------------------------------------------
+
+def _slab_test(lo, hi, o, inv_d, t_max):
+    """Bounds3::IntersectP slab test (core/Geometry.h:1356) batched."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.max(tn, axis=-1)
+    t_far = jnp.min(tf, axis=-1) * (1.0 + 2.0 * 7.2e-7)  # gamma(3) slop
+    return (t_near <= t_far) & (t_far > 0) & (t_near < t_max)
+
+
+def _leaf_intersect(verts, tris, prim_idx, leaf_off, o, d, t_best):
+    """Intersect LEAF_SIZE prims per lane (masked), Moller-Trumbore.
+
+    Returns (t (N,K), valid (N,K), ids (N,K), bary (N,K,2)).
+    """
+    k = LEAF_SIZE
+    ids = prim_idx[leaf_off[:, None] + jnp.arange(k)[None, :]]  # (N,K)
+    ok = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    tri = tris[safe]  # (N,K,3)
+    p0 = verts[tri[..., 0]]
+    p1 = verts[tri[..., 1]]
+    p2 = verts[tri[..., 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    dv = d[:, None]
+    pv = jnp.cross(dv, e2)
+    det = jnp.sum(e1 * pv, -1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tv = o[:, None] - p0
+    u = jnp.sum(tv * pv, -1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(dv * qv, -1) * inv
+    t = jnp.sum(e2 * qv, -1) * inv
+    valid = ok & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+    valid &= (t > 1e-5) & (t < t_best[:, None])
+    return t, valid, safe, jnp.stack([u, v], -1)
+
+
+def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):
+    """Lockstep stack traversal, closest hit.  Returns TriHit with pbrt
+    barycentric convention b = (1-u-v, u, v)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    dir_neg = (inv_d < 0)  # (N,3)
+
+    class St(NamedTuple):
+        cursor: jnp.ndarray
+        sp: jnp.ndarray
+        stack: jnp.ndarray
+        t_best: jnp.ndarray
+        best_tri: jnp.ndarray
+        best_uv: jnp.ndarray
+        found: jnp.ndarray
+        active: jnp.ndarray
+
+    st = St(
+        cursor=jnp.zeros((n,), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
+        stack=jnp.zeros((n, MAX_STACK), jnp.int32),
+        t_best=jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+        best_tri=jnp.zeros((n,), jnp.int32),
+        best_uv=jnp.zeros((n, 2), jnp.float32),
+        found=jnp.zeros((n,), bool),
+        active=jnp.ones((n,), bool),
+    )
+
+    def cond(st):
+        return jnp.any(st.active)
+
+    def body(st):
+        node = st.cursor
+        lo = bvh.bounds_lo[node]
+        hi = bvh.bounds_hi[node]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        ax = bvh.axis[node]
+
+        box_hit = _slab_test(lo, hi, o, inv_d, st.t_best) & st.active
+        is_leaf = (np_ > 0) & box_hit
+        is_inner = (np_ == 0) & box_hit
+
+        # leaf: fixed-size masked intersection
+        t, valid, ids, uv = _leaf_intersect(verts, tris, bvh.prim_idx, off, o, d,
+                                            st.t_best)
+        t_m = jnp.where(valid & is_leaf[:, None], t, INFINITY)
+        kbest = jnp.argmin(t_m, axis=-1)
+        rows = jnp.arange(n)
+        t_new = t_m[rows, kbest]
+        better = t_new < st.t_best
+        t_best = jnp.where(better, t_new, st.t_best)
+        best_tri = jnp.where(better, ids[rows, kbest], st.best_tri)
+        best_uv = jnp.where(better[:, None], uv[rows, kbest], st.best_uv)
+        found = st.found | better
+
+        # inner: near child first by split-axis direction sign
+        # (BVHAccel.cpp:672-681): near = node+1, far = offset when dir
+        # positive along axis; swapped otherwise.
+        take_ax = jnp.take_along_axis(dir_neg, ax[:, None], axis=-1)[:, 0]
+        near = jnp.where(take_ax, off, node + 1)
+        far = jnp.where(take_ax, node + 1, off)
+
+        # push far where inner, set cursor=near; else pop
+        sp = st.sp
+        stack = st.stack
+        can_push = is_inner & (sp < MAX_STACK)
+        stack = jnp.where(
+            can_push[:, None] & (jnp.arange(MAX_STACK)[None] == sp[:, None]),
+            far[:, None], stack,
+        )
+        sp = jnp.where(can_push, sp + 1, sp)
+
+        need_pop = st.active & ~is_inner
+        empty = sp == 0
+        # pop: cursor = stack[sp-1]
+        pop_idx = jnp.maximum(sp - 1, 0)
+        popped = stack[rows, pop_idx]
+        cursor = jnp.where(is_inner, near, jnp.where(need_pop & ~empty, popped, node))
+        sp = jnp.where(need_pop & ~empty, sp - 1, sp)
+        active = st.active & ~(need_pop & empty)
+
+        return St(cursor, sp, stack, t_best, best_tri, best_uv, found, active)
+
+    st = jax.lax.while_loop(cond, body, st)
+    b = jnp.stack(
+        [1.0 - st.best_uv[:, 0] - st.best_uv[:, 1], st.best_uv[:, 0], st.best_uv[:, 1]],
+        axis=-1,
+    )
+    return TriHit(hit=st.found, t=jnp.where(st.found, st.t_best, INFINITY),
+                  tri=st.best_tri, b=b)
+
+
+def bvh_any_hit(bvh: BVH, verts, tris, o, d, t_max):
+    """Early-out occlusion query (IntersectP, BVHAccel.cpp:693-729)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    dir_neg = inv_d < 0
+    t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+
+    class St(NamedTuple):
+        cursor: jnp.ndarray
+        sp: jnp.ndarray
+        stack: jnp.ndarray
+        occluded: jnp.ndarray
+        active: jnp.ndarray
+
+    st = St(
+        cursor=jnp.zeros((n,), jnp.int32),
+        sp=jnp.zeros((n,), jnp.int32),
+        stack=jnp.zeros((n, MAX_STACK), jnp.int32),
+        occluded=jnp.zeros((n,), bool),
+        active=jnp.ones((n,), bool),
+    )
+
+    def cond(st):
+        return jnp.any(st.active)
+
+    def body(st):
+        node = st.cursor
+        lo = bvh.bounds_lo[node]
+        hi = bvh.bounds_hi[node]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        ax = bvh.axis[node]
+        box_hit = _slab_test(lo, hi, o, inv_d, t_max) & st.active
+        is_leaf = (np_ > 0) & box_hit
+        is_inner = (np_ == 0) & box_hit
+
+        t, valid, _, _ = _leaf_intersect(verts, tris, bvh.prim_idx, off, o, d, t_max)
+        hit_any = jnp.any(valid & is_leaf[:, None], axis=-1)
+        occluded = st.occluded | hit_any
+
+        rows = jnp.arange(n)
+        take_ax = jnp.take_along_axis(dir_neg, ax[:, None], axis=-1)[:, 0]
+        near = jnp.where(take_ax, off, node + 1)
+        far = jnp.where(take_ax, node + 1, off)
+        sp = st.sp
+        stack = st.stack
+        can_push = is_inner & (sp < MAX_STACK)
+        stack = jnp.where(
+            can_push[:, None] & (jnp.arange(MAX_STACK)[None] == sp[:, None]),
+            far[:, None], stack,
+        )
+        sp = jnp.where(can_push, sp + 1, sp)
+        need_pop = st.active & ~is_inner
+        empty = sp == 0
+        pop_idx = jnp.maximum(sp - 1, 0)
+        popped = stack[rows, pop_idx]
+        cursor = jnp.where(is_inner, near, jnp.where(need_pop & ~empty, popped, node))
+        sp = jnp.where(need_pop & ~empty, sp - 1, sp)
+        # lanes stop when stack empties or they're already occluded
+        active = st.active & ~occluded & ~(need_pop & empty)
+        return St(cursor, sp, stack, occluded, active)
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st.occluded

@@ -37,20 +37,31 @@ class TriHit(NamedTuple):
 def _permute_shear(o, d):
     """Precompute the axis permutation + shear for each ray.
 
-    Returns (perm (N,3) int32 gather indices [kx,ky,kz], shear (N,3) [sx,sy,sz]).
+    Gather-free: kz = argmax |d| is one of three cases, so permuted
+    components come from where-chains (TPU VPU selects), never a
+    per-lane gather.  Returns (kz_masks (m0,m1,m2), shear (N,3)).
     """
     ad = jnp.abs(d)
     kz = jnp.argmax(ad, axis=-1).astype(jnp.int32)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-    take = lambda v, i: jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
-    dz = take(d, kz)
-    sx = -take(d, kx) / dz
-    sy = -take(d, ky) / dz
+    m0 = kz == 0  # perm (kx,ky,kz) = (1,2,0)
+    m1 = kz == 1  # (2,0,1)
+    # else kz == 2: identity (0,1,2)
+    dz = jnp.where(m0, d[..., 0], jnp.where(m1, d[..., 1], d[..., 2]))
+    dx = jnp.where(m0, d[..., 1], jnp.where(m1, d[..., 2], d[..., 0]))
+    dy = jnp.where(m0, d[..., 2], jnp.where(m1, d[..., 0], d[..., 1]))
+    sx = -dx / dz
+    sy = -dy / dz
     sz = 1.0 / dz
-    perm = jnp.stack([kx, ky, kz], axis=-1)
     shear = jnp.stack([sx, sy, sz], axis=-1)
-    return perm, shear
+    return (m0, m1), shear
+
+
+def _permute3(m0, m1, v):
+    """Apply the kz permutation to (..., 3) components via selects."""
+    x = jnp.where(m0, v[..., 1], jnp.where(m1, v[..., 2], v[..., 0]))
+    y = jnp.where(m0, v[..., 2], jnp.where(m1, v[..., 0], v[..., 1]))
+    z = jnp.where(m0, v[..., 0], jnp.where(m1, v[..., 1], v[..., 2]))
+    return x, y, z
 
 
 def ray_triangles_watertight(o, d, t_max, p0, p1, p2):
@@ -59,28 +70,28 @@ def ray_triangles_watertight(o, d, t_max, p0, p1, p2):
     o, d: (N, 3); t_max: (N,); p0/p1/p2: (T, 3).
     Returns (valid (N, T), t (N, T), b0, b1, b2 (N, T)).
     """
-    perm, shear = _permute_shear(o, d)  # (N,3) each
+    (m0, m1), shear = _permute_shear(o, d)
+    m0b = m0[:, None]
+    m1b = m1[:, None]
 
     def permuted(p):
-        # p: (T,3) -> (N,T,3) permuted per-ray (broadcast_to avoids materializing)
         pt = p[None] - o[:, None]  # translate: (N,T,3)
-        idx = jnp.broadcast_to(perm[:, None, :], (o.shape[0], p.shape[0], 3))
-        return jnp.take_along_axis(pt, idx, axis=-1)
+        return _permute3(m0b, m1b, pt)
 
-    p0t = permuted(p0)
-    p1t = permuted(p1)
-    p2t = permuted(p2)
+    p0x, p0y, p0z = permuted(p0)
+    p1x, p1y, p1z = permuted(p1)
+    p2x, p2y, p2z = permuted(p2)
 
     sx = shear[:, None, 0]
     sy = shear[:, None, 1]
     sz = shear[:, None, 2]
 
-    x0 = p0t[..., 0] + sx * p0t[..., 2]
-    y0 = p0t[..., 1] + sy * p0t[..., 2]
-    x1 = p1t[..., 0] + sx * p1t[..., 2]
-    y1 = p1t[..., 1] + sy * p1t[..., 2]
-    x2 = p2t[..., 0] + sx * p2t[..., 2]
-    y2 = p2t[..., 1] + sy * p2t[..., 2]
+    x0 = p0x + sx * p0z
+    y0 = p0y + sy * p0z
+    x1 = p1x + sx * p1z
+    y1 = p1y + sy * p1z
+    x2 = p2x + sx * p2z
+    y2 = p2y + sy * p2z
 
     e0 = x1 * y2 - y1 * x2
     e1 = x2 * y0 - y2 * x0
@@ -92,9 +103,9 @@ def ray_triangles_watertight(o, d, t_max, p0, p1, p2):
     det = e0 + e1 + e2
     valid = ~(neg & pos) & (det != 0)
 
-    z0 = sz * p0t[..., 2]
-    z1 = sz * p1t[..., 2]
-    z2 = sz * p2t[..., 2]
+    z0 = sz * p0z
+    z1 = sz * p1z
+    z2 = sz * p2z
     t_scaled = e0 * z0 + e1 * z1 + e2 * z2
 
     det_neg = det < 0

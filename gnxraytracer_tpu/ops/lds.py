@@ -193,19 +193,70 @@ def radical_inverse(base, a):
     Fixed 32-iteration digit loop with masked updates — data-independent
     control flow that the TPU vectorizes across the wavefront.
     """
+    import jax
+
     a = jnp.asarray(a).astype(jnp.uint32)
     base = jnp.asarray(base).astype(jnp.uint32)
     inv_base = 1.0 / base.astype(jnp.float32)
-    reversed_digits = jnp.zeros_like(a)
-    inv_base_n = jnp.ones(jnp.broadcast_shapes(a.shape, base.shape), jnp.float32)
-    for _ in range(MAX_DIGITS):
+    shape = jnp.broadcast_shapes(a.shape, base.shape)
+
+    def step(_, carry):
+        a, rev, ibn = carry
         active = a > 0
         nxt = a // base
         digit = a - nxt * base
-        reversed_digits = jnp.where(active, reversed_digits * base + digit, reversed_digits)
-        inv_base_n = jnp.where(active, inv_base_n * inv_base, inv_base_n)
-        a = nxt
+        rev = jnp.where(active, rev * base + digit, rev)
+        ibn = jnp.where(active, ibn * inv_base, ibn)
+        return nxt, rev, ibn
+
+    _, reversed_digits, inv_base_n = jax.lax.fori_loop(
+        0, MAX_DIGITS, step,
+        (a, jnp.zeros_like(a), jnp.ones(shape, jnp.float32)),
+    )
     return jnp.minimum(reversed_digits.astype(jnp.float32) * inv_base_n, ONE_MINUS_EPSILON)
+
+
+def radical_inverse_static(base: int, a):
+    """Radical inverse with a *static* (python int) base: the digit loop
+    unrolls to exactly ceil(32 / log2(base)) iterations — e.g. 4 for base
+    389 vs the generic 32 — and involves no tables.  This is the TPU fast
+    path; generic traced-base versions remain for dynamic dims."""
+    a = jnp.asarray(a).astype(jnp.uint32)
+    n_digits = int(np.ceil(32.0 / np.log2(base)))
+    inv_base = np.float32(1.0 / base)
+    rev = jnp.zeros_like(a)
+    ibn = jnp.ones(a.shape, jnp.float32)
+    for _ in range(n_digits):
+        active = a > 0
+        nxt = a // base
+        digit = a - nxt * base
+        rev = jnp.where(active, rev * base + digit, rev)
+        ibn = jnp.where(active, ibn * inv_base, ibn)
+        a = nxt
+    return jnp.minimum(rev.astype(jnp.float32) * ibn, ONE_MINUS_EPSILON)
+
+
+def scrambled_radical_inverse_static(base: int, a, perm):
+    """Scrambled radical inverse with static base and its (base,) perm
+    slice.  The digit permutation becomes a gather into a tiny table
+    (or a one-hot select), not into the 3.7M flat table."""
+    a = jnp.asarray(a).astype(jnp.uint32)
+    perm = jnp.asarray(perm).astype(jnp.uint32)
+    n_digits = int(np.ceil(32.0 / np.log2(base)))
+    inv_base = np.float32(1.0 / base)
+    rev = jnp.zeros_like(a)
+    ibn = jnp.ones(a.shape, jnp.float32)
+    for _ in range(n_digits):
+        active = a > 0
+        nxt = a // base
+        digit = a - nxt * base
+        pdigit = perm[digit]
+        rev = jnp.where(active, rev * base + pdigit, rev)
+        ibn = jnp.where(active, ibn * inv_base, ibn)
+        a = nxt
+    perm0 = perm[0].astype(jnp.float32)
+    tail = inv_base * perm0 / (1.0 - inv_base)
+    return jnp.minimum(ibn * (rev.astype(jnp.float32) + tail), ONE_MINUS_EPSILON)
 
 
 def scrambled_radical_inverse(base, a, perm_table, perm_offset):
@@ -214,20 +265,29 @@ def scrambled_radical_inverse(base, a, perm_table, perm_offset):
     perm_table:  flat int32 device array of all digit permutations
     perm_offset: offset of this base's permutation (PrimeSums[dim])
     """
+    import jax
+
     a = jnp.asarray(a).astype(jnp.uint32)
     base = jnp.asarray(base).astype(jnp.uint32)
+    perm_table = jnp.asarray(perm_table)
     perm_offset = jnp.asarray(perm_offset).astype(jnp.int32)
     inv_base = 1.0 / base.astype(jnp.float32)
-    reversed_digits = jnp.zeros_like(a)
-    inv_base_n = jnp.ones(jnp.broadcast_shapes(a.shape, base.shape), jnp.float32)
-    for _ in range(MAX_DIGITS):
+    shape = jnp.broadcast_shapes(a.shape, base.shape)
+
+    def step(_, carry):
+        a, rev, ibn = carry
         active = a > 0
         nxt = a // base
         digit = a - nxt * base
         pdigit = perm_table[perm_offset + digit.astype(jnp.int32)].astype(jnp.uint32)
-        reversed_digits = jnp.where(active, reversed_digits * base + pdigit, reversed_digits)
-        inv_base_n = jnp.where(active, inv_base_n * inv_base, inv_base_n)
-        a = nxt
+        rev = jnp.where(active, rev * base + pdigit, rev)
+        ibn = jnp.where(active, ibn * inv_base, ibn)
+        return nxt, rev, ibn
+
+    _, reversed_digits, inv_base_n = jax.lax.fori_loop(
+        0, MAX_DIGITS, step,
+        (a, jnp.zeros_like(a), jnp.ones(shape, jnp.float32)),
+    )
     perm0 = perm_table[perm_offset].astype(jnp.float32)
     tail = inv_base * perm0 / (1.0 - inv_base)
     return jnp.minimum(inv_base_n * (reversed_digits.astype(jnp.float32) + tail),

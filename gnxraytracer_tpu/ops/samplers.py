@@ -125,6 +125,35 @@ def sample_2d(s: Sampler, pixel, sample, dim):
     )
 
 
+def sample_all_dims(s: Sampler, pixel, sample, n_dims: int):
+    """Precompute ALL dimensions for a wavefront as one (N, n_dims) array.
+
+    This is the TPU fast path: every column has a *static* dim, so Halton
+    uses static-base digit loops (4-18 iterations) and tiny static
+    permutation slices instead of traced-base loops gathering from the
+    3.7M-entry flat table inside the bounce loop.  Integrators slice
+    per-bounce dims out with lax.dynamic_slice.
+    """
+    if s.kind == "random":
+        dims = jnp.arange(n_dims, dtype=jnp.int32)[None, :]
+        return rng.uniform_float(pixel[:, None], sample[:, None], dims, s.seed)
+    # halton
+    idx = global_index(s, pixel, sample)
+    host_primes = lds.primes()
+    host_sums = lds.prime_sums()
+    host_perms = lds.radical_inverse_permutations()
+    cols = [
+        lds.radical_inverse_base2(idx >> jnp.uint32(s.exp2)),
+        lds.radical_inverse_static(3, idx // jnp.uint32(s.scale3)),
+    ]
+    for d in range(2, n_dims):
+        base = int(host_primes[d])
+        off = int(host_sums[d])
+        perm = host_perms[off: off + base]
+        cols.append(lds.scrambled_radical_inverse_static(base, idx, perm))
+    return jnp.stack(cols[:n_dims], axis=-1)
+
+
 def camera_sample(s: Sampler, pixel, sample, width):
     """CameraSample per reference GetCameraSample (core/Sampler.cpp:14-20):
     dims 0-1 film jitter, dim 2 time, dims 3-4 lens.

@@ -112,12 +112,81 @@ def cornell_box(width=500, height=500, sigma=60.0, skybox=True,
     return scene, cam
 
 
+def volumetric_cornell(width=128, height=128, use_reference_volume=True):
+    """BASELINE config 5: GridDensityMedium (density_render.70.volume) in a
+    null-boundary box inside the Cornell scene + a homogeneous-interior
+    glass sphere (RenderThread.cpp:107 parameters sigma_a 2.4? — the
+    reference builds HomogeneousMedium(2.4, 1.4, 0.5))."""
+    import os
+
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=0.0)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+
+    # grid medium from the reference resource (loaded via our loader since
+    # the reference has none, SURVEY.md §2.5)
+    vol_path = "/root/reference/Resources/density_render.70.volume"
+    if use_reference_volume and os.path.exists(vol_path):
+        from .loaders import load_volume
+
+        vol = load_volume(vol_path)
+        density = vol["density"]
+        sigma_a, sigma_s = vol["sigma_a"], vol["sigma_s"]
+    else:
+        z, y, x = np.mgrid[0:32, 0:32, 0:32] / 31.0
+        density = np.exp(-8 * ((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2)).astype(np.float32)
+        sigma_a, sigma_s = (10.0, 10.0, 10.0), (90.0, 90.0, 90.0)
+    # place the unit medium box at [-1,-2.4,-1]x[1,-0.4,1] (on the floor)
+    m2w = np.eye(4)
+    m2w[0, 0] = 2.0
+    m2w[1, 1] = 2.0
+    m2w[2, 2] = 2.0
+    m2w[:3, 3] = [-1.0, -2.4, -1.0]
+    grid_med = b.add_grid_medium(density, np.asarray(sigma_a) * 0.1,
+                                 np.asarray(sigma_s) * 0.1, g=0.0,
+                                 medium_to_world=m2w)
+    # null-material bounding box for the grid (medium interface carrier)
+    lo, hi = np.array([-1.0, -2.4, -1.0]), np.array([1.0, -0.4, 1.0])
+    bv, bt = _box_mesh(lo, hi)
+    b.add_mesh(bv, bt, material=-1, medium=(grid_med, -1))
+
+    # homogeneous "glass" sphere: glass surface with interior medium
+    hom = b.add_homogeneous_medium((0.24, 0.24, 0.24), (0.14, 0.14, 0.14), g=0.5)
+    glass = b.add_glass(eta=1.5)
+    b.add_sphere((1.2, -1.5, 0.8), 0.9, glass, medium=(hom, -1))
+
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
+def _box_mesh(lo, hi):
+    """12-triangle axis-aligned box with outward winding."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    v = np.array([
+        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+    ], np.float32)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],  # z0 face (normal -z)
+        [4, 5, 6], [4, 6, 7],  # z1 face (+z)
+        [0, 1, 5], [0, 5, 4],  # y0 (-y)
+        [3, 6, 2], [3, 7, 6],  # y1 (+y)
+        [0, 7, 3], [0, 4, 7],  # x0 (-x)
+        [1, 2, 6], [1, 6, 5],  # x1 (+x)
+    ], np.int32)
+    return v, f
+
+
 def sphere_point_light(width=64, height=64):
     """BASELINE config 1: single matte sphere + PointLight."""
     b = SceneBuilder()
     m = b.add_matte((0.7, 0.5, 0.4), sigma=0.0)
     b.add_sphere((0.0, 0.0, 0.0), 1.0, m)
-    b.add_point_light((2.0, 3.0, 4.0), (40.0, 40.0, 40.0))
+    b.add_point_light((2.0, 3.0, 4.0), (100.0, 100.0, 100.0))
     scene = b.build()
     cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
                                   look=(0.0, 0.0, 0.0))

@@ -42,12 +42,27 @@ class Geometry(NamedTuple):
     triangles: jnp.ndarray       # (T,3) i32
     normals: Optional[jnp.ndarray]   # (V,3) shading normals or None
     uvs: Optional[jnp.ndarray]       # (V,2) or None
-    tri_mat: jnp.ndarray         # (T,) i32 material id
+    tri_mat: jnp.ndarray         # (T,) i32 material id (-1 = null boundary)
     tri_light: jnp.ndarray       # (T,) i32 area-light id or -1
+    tri_medium: jnp.ndarray      # (T,2) i32 [inside, outside] medium or -1
     sph_center: jnp.ndarray      # (S,3)
     sph_radius: jnp.ndarray      # (S,)
     sph_mat: jnp.ndarray         # (S,) i32
     sph_light: jnp.ndarray       # (S,) i32
+    sph_medium: jnp.ndarray      # (S,2) i32 [inside, outside]
+
+
+class MediumTable(NamedTuple):
+    """Participating media (core/Medium.h, media/*.cpp).  kind 0 =
+    homogeneous; kind 1 = grid density (one shared grid per scene)."""
+    kind: jnp.ndarray      # (K,) i32
+    sigma_a: jnp.ndarray   # (K,3)
+    sigma_s: jnp.ndarray   # (K,3)
+    g: jnp.ndarray         # (K,) Henyey-Greenstein asymmetry
+    # grid medium (rows with kind==1 share this one grid)
+    density: Optional[jnp.ndarray]      # (nz,ny,nx) or None
+    world_to_medium: jnp.ndarray        # (K,4,4)
+    inv_max_density: jnp.ndarray        # (K,)
 
 
 class MaterialTable(NamedTuple):
@@ -111,6 +126,8 @@ class Scene(NamedTuple):
     lights: LightTable
     env: Optional[EnvMap]
     textures: Optional[jnp.ndarray]  # (K,H,W,3) stacked same-size textures or None
+    media: Optional[MediumTable]
+    camera_medium: int  # static-ish: medium the camera sits in (-1 vacuum)
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
     bvh: Optional[tuple]  # BVH arrays (ops/bvh.py) or None -> brute force
@@ -124,6 +141,13 @@ class Scene(NamedTuple):
 # Builder
 # ---------------------------------------------------------------------------
 
+def _v3(x):
+    a = np.asarray(x, np.float32)
+    if a.ndim == 0:
+        a = np.full(3, float(a), np.float32)
+    return a
+
+
 class SceneBuilder:
     """Accumulates host-side numpy geometry/material/light data, then
     freezes into the Scene pytree.  Plays the role of the reference's
@@ -136,13 +160,38 @@ class SceneBuilder:
         self.uvs = []
         self.tri_mat = []
         self.tri_light = []
-        self.sph = []  # (center, radius, mat, light)
+        self.tri_medium = []
+        self.sph = []  # (center, radius, mat, light, medium)
         self.materials = []  # dicts
         self.lights = []  # dicts
+        self.media = []  # dicts
         self.env = None
+        self.camera_medium = -1
         self._vtx_count = 0
         self._has_normals = False
         self._has_uvs = False
+
+    # -- media -------------------------------------------------------------
+
+    def add_homogeneous_medium(self, sigma_a, sigma_s, g=0.0):
+        """HomogeneousMedium (media/HomogeneousMedium.cpp); the reference
+        app instantiates (2.4, 1.4, 0.5) scalars (RenderThread.cpp:107)."""
+        self.media.append(dict(kind=0, sigma_a=_v3(sigma_a), sigma_s=_v3(sigma_s),
+                               g=float(g), density=None,
+                               world_to_medium=np.eye(4, dtype=np.float32)))
+        return len(self.media) - 1
+
+    def add_grid_medium(self, density, sigma_a, sigma_s, g=0.0,
+                        medium_to_world=None):
+        """GridDensityMedium (media/GridDensityMedium.{h,cpp}): density grid
+        in [0,1]^3 medium space, sigma_t scaled by trilinear density."""
+        if medium_to_world is None:
+            medium_to_world = np.eye(4)
+        w2m = np.linalg.inv(np.asarray(medium_to_world, np.float64)).astype(np.float32)
+        self.media.append(dict(kind=1, sigma_a=_v3(sigma_a), sigma_s=_v3(sigma_s),
+                               g=float(g), density=np.asarray(density, np.float32),
+                               world_to_medium=w2m))
+        return len(self.media) - 1
 
     # -- materials ---------------------------------------------------------
 
@@ -185,7 +234,7 @@ class SceneBuilder:
     # -- geometry ----------------------------------------------------------
 
     def add_mesh(self, vertices, triangles, material, light=-1, transform=None,
-                 normals=None, uvs=None):
+                 normals=None, uvs=None, medium=(-1, -1)):
         """vertices (V,3), triangles (T,3) int; optional 4x4 transform applied
         host-side (reference TriangleMesh pre-transforms, shape/Triangle.h:12)."""
         v = np.asarray(vertices, np.float64)
@@ -199,6 +248,7 @@ class SceneBuilder:
         n = len(tri)
         self.tri_mat.append(np.full(n, material, np.int32))
         self.tri_light.append(np.full(n, light, np.int32))
+        self.tri_medium.append(np.tile(np.asarray(medium, np.int32), (n, 1)))
         if normals is not None:
             nr = np.asarray(normals, np.float64)
             if transform is not None:
@@ -219,9 +269,9 @@ class SceneBuilder:
         first_tri = sum(len(t) for t in self.triangles[:-1])
         return first_tri, n  # triangle id range
 
-    def add_sphere(self, center, radius, material, light=-1):
+    def add_sphere(self, center, radius, material, light=-1, medium=(-1, -1)):
         self.sph.append((np.asarray(center, np.float32), float(radius),
-                         int(material), int(light)))
+                         int(material), int(light), np.asarray(medium, np.int32)))
         return len(self.sph) - 1
 
     # -- lights ------------------------------------------------------------
@@ -271,11 +321,13 @@ class SceneBuilder:
             tris = np.concatenate(self.triangles, 0)
             tri_mat = np.concatenate(self.tri_mat, 0)
             tri_light = np.concatenate(self.tri_light, 0)
+            tri_medium = np.concatenate(self.tri_medium, 0)
         else:
             verts = np.zeros((3, 3), np.float32)
             tris = np.zeros((1, 3), np.int32)
             tri_mat = np.zeros(1, np.int32)
             tri_light = np.full(1, -1, np.int32)
+            tri_medium = np.full((1, 2), -1, np.int32)
 
         normals = None
         if self._has_normals:
@@ -297,19 +349,23 @@ class SceneBuilder:
             sr = np.asarray([s[1] for s in self.sph], np.float32)
             sm = np.asarray([s[2] for s in self.sph], np.int32)
             sl = np.asarray([s[3] for s in self.sph], np.int32)
+            smed = np.stack([s[4] for s in self.sph]).astype(np.int32)
         else:
             sc = np.zeros((0, 3), np.float32)
             sr = np.zeros((0,), np.float32)
             sm = np.zeros((0,), np.int32)
             sl = np.zeros((0,), np.int32)
+            smed = np.zeros((0, 2), np.int32)
 
         geom = Geometry(
             vertices=jnp.asarray(verts), triangles=jnp.asarray(tris),
             normals=None if normals is None else jnp.asarray(normals),
             uvs=None if uvs is None else jnp.asarray(uvs),
             tri_mat=jnp.asarray(tri_mat), tri_light=jnp.asarray(tri_light),
+            tri_medium=jnp.asarray(tri_medium),
             sph_center=jnp.asarray(sc), sph_radius=jnp.asarray(sr),
             sph_mat=jnp.asarray(sm), sph_light=jnp.asarray(sl),
+            sph_medium=jnp.asarray(smed),
         )
 
         if not self.materials:
@@ -353,6 +409,27 @@ class SceneBuilder:
                 light_to_world=jnp.asarray(np.asarray(l2w, np.float32)),
             )
 
+        media = None
+        if self.media:
+            grid = None
+            inv_max = []
+            for m in self.media:
+                if m["density"] is not None:
+                    grid = m["density"]
+                    inv_max.append(1.0 / max(float(grid.max()), 1e-8))
+                else:
+                    inv_max.append(1.0)
+            media = MediumTable(
+                kind=jnp.asarray([m["kind"] for m in self.media], jnp.int32),
+                sigma_a=jnp.asarray([m["sigma_a"] for m in self.media]),
+                sigma_s=jnp.asarray([m["sigma_s"] for m in self.media]),
+                g=jnp.asarray([m["g"] for m in self.media], jnp.float32),
+                density=None if grid is None else jnp.asarray(grid),
+                world_to_medium=jnp.asarray(
+                    np.stack([m["world_to_medium"] for m in self.media])),
+                inv_max_density=jnp.asarray(inv_max, jnp.float32),
+            )
+
         # world bounds -> bounding sphere (Scene ctor caches worldBound)
         pts = [verts] if len(verts) else []
         if len(sc):
@@ -369,6 +446,7 @@ class SceneBuilder:
 
         return Scene(
             geom=geom, materials=mat, lights=lights, env=env, textures=None,
+            media=media, camera_medium=self.camera_medium,
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             bvh=bvh_arrays,

@@ -1,0 +1,94 @@
+"""BVH build + traversal vs brute-force linear intersection on random
+scenes (SURVEY.md §4: 'BVH traversal vs. linear all-primitives
+intersection on random scenes')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnxraytracer_tpu.ops import bvh as bvh_mod
+from gnxraytracer_tpu.ops import intersect
+
+
+def random_scene(n_tris, seed=0, spread=5.0):
+    rs = np.random.RandomState(seed)
+    centers = rs.randn(n_tris, 1, 3) * spread
+    tris = centers + rs.randn(n_tris, 3, 3) * 0.4
+    verts = tris.reshape(-1, 3).astype(np.float32)
+    idx = np.arange(n_tris * 3).reshape(n_tris, 3).astype(np.int32)
+    return verts, idx
+
+
+def random_rays(n, seed=1, spread=8.0):
+    rs = np.random.RandomState(seed)
+    o = rs.randn(n, 3).astype(np.float32) * spread
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+class TestBVHBuild:
+    def test_structure_valid(self):
+        verts, idx = random_scene(200)
+        arrs = bvh_mod.build_bvh_numpy(verts, idx)
+        lo, hi, off, npr, ax, order = arrs
+        # every triangle appears exactly once in the order
+        got = sorted(x for x in order.tolist() if x >= 0)
+        assert got == list(range(200))
+        # leaves have 1..LEAF bound, interiors 0
+        assert npr.max() <= 8  # SAH may keep up to 2*leaf_size
+        # root bounds contain everything
+        assert np.all(lo[0] <= verts.min(0) + 1e-4)
+        assert np.all(hi[0] >= verts.max(0) - 1e-4)
+
+    def test_single_triangle(self):
+        verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        idx = np.asarray([[0, 1, 2]], np.int32)
+        arrs = bvh_mod.build_bvh_numpy(verts, idx)
+        assert arrs[3][0] == 1  # root is a leaf with 1 prim
+
+
+class TestBVHTraversal:
+    @pytest.mark.parametrize("n_tris,n_rays,seed", [(50, 200, 0), (500, 300, 2)])
+    def test_matches_bruteforce(self, n_tris, n_rays, seed):
+        verts, idx = random_scene(n_tris, seed)
+        o, d = random_rays(n_rays, seed + 10)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(n_rays, 1e30, jnp.float32)
+        brute = intersect.closest_triangle_hit(jnp.asarray(o), jnp.asarray(d),
+                                               t_max, vj, ij)
+        tree = bvh_mod.build_bvh(verts, idx)
+        fast = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                       jnp.asarray(d), t_max)
+        bh, fh = np.asarray(brute.hit), np.asarray(fast.hit)
+        bt, ft = np.asarray(brute.t), np.asarray(fast.t)
+        # watertight (brute) vs MT (leaf) may disagree on exact-edge rays
+        mismatch = (bh != fh).sum()
+        assert mismatch <= max(1, n_rays // 100), f"{mismatch} hit mismatches"
+        both = bh & fh
+        np.testing.assert_allclose(bt[both], ft[both], rtol=1e-3, atol=1e-4)
+
+    def test_any_hit_matches(self):
+        verts, idx = random_scene(300, 4)
+        o, d = random_rays(400, 5)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(400, 1e30, jnp.float32)
+        brute = np.asarray(intersect.any_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), t_max, vj, ij))
+        tree = bvh_mod.build_bvh(verts, idx)
+        fast = np.asarray(bvh_mod.bvh_any_hit(tree, vj, ij, jnp.asarray(o),
+                                              jnp.asarray(d), t_max))
+        assert (brute != fast).sum() <= 4
+
+    def test_tmax_limits_hits(self):
+        verts, idx = random_scene(100, 7)
+        o, d = random_rays(100, 8)
+        tree = bvh_mod.build_bvh(verts, idx)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        far = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                      jnp.asarray(d), jnp.full(100, 1e30, jnp.float32))
+        near = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                       jnp.asarray(d), jnp.full(100, 0.5, jnp.float32))
+        nh, nt = np.asarray(near.hit), np.asarray(near.t)
+        assert nh.sum() <= np.asarray(far.hit).sum()
+        assert np.all(nt[nh] <= 0.5)

@@ -60,6 +60,24 @@ class TestRadicalInverse:
             want = [scrambled_oracle(base, int(a), perm) for a in idx]
             np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_static_matches_traced(self):
+        perms = lds.radical_inverse_permutations()
+        sums = lds.prime_sums()
+        primes = lds.primes()
+        idx = np.array([0, 1, 7, 1234, 888888, 2 ** 26], np.uint32)
+        for dim in (2, 9, 77):
+            base = int(primes[dim])
+            off = int(sums[dim])
+            a = np.asarray(lds.scrambled_radical_inverse(base, idx, perms, off))
+            b = np.asarray(
+                lds.scrambled_radical_inverse_static(base, idx, perms[off: off + base])
+            )
+            np.testing.assert_array_equal(a, b)
+        for base in (3, 7, 31):
+            a = np.asarray(lds.radical_inverse(base, idx))
+            b = np.asarray(lds.radical_inverse_static(base, idx))
+            np.testing.assert_array_equal(a, b)
+
     def test_permutations_are_permutations(self):
         perms = lds.radical_inverse_permutations()
         sums = lds.prime_sums()
