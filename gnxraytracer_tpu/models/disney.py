@@ -254,25 +254,29 @@ def _pdf_impl(p, drv, wo, wi):
     return pdf / jnp.maximum(n_lobes, 1.0)
 
 
-def evaluate(mats, mid, cfg, wo, wi):
+def evaluate(mats, mid, cfg, wo, wi, kd_override=None):
     kind = jnp.take(mats.kind, mid, axis=0)
     from ..scene.scene import MAT_DISNEY
 
     m = kind == MAT_DISNEY
     p = _params(mats, mid)
+    if kd_override is not None:
+        p['c'] = kd_override
     drv = _derived(p)
     f = _f_impl(p, drv, wo, wi)
     pdf = _pdf_impl(p, drv, wo, wi)
     return f, pdf, m
 
 
-def sample(mats, mid, cfg, wo, u2, uc):
+def sample(mats, mid, cfg, wo, u2, uc, kd_override=None):
     from ..scene.scene import MAT_DISNEY
     from .materials import BsdfSample
 
     kind = jnp.take(mats.kind, mid, axis=0)
     m = kind == MAT_DISNEY
     p = _params(mats, mid)
+    if kd_override is not None:
+        p['c'] = kd_override
     drv = _derived(p)
     pres = _lobe_presence(p)
     n_lobes = sum(pres)

@@ -56,6 +56,7 @@ class RenderCfg(NamedTuple):
     spp_chunk: int = 4
     light_strategy: str = "uniform"  # uniform | power
     has_media: bool = False
+    has_textures: bool = False
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -97,6 +98,7 @@ def make_config(scene, width, height, spp, **kw):
         n_lights=int(scene.lights.kind.shape[0]),
         use_bvh=scene.bvh is not None,
         has_media=scene.media is not None,
+        has_textures=scene.textures is not None,
         **kw,
     )
 
@@ -113,7 +115,8 @@ def _choose_light(scene, cfg, u):
     return idx, pdf
 
 
-def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx):
+def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
+                    kd_override=None):
     """EstimateDirect (core/Integrator.cpp:93-210) for all lanes at once.
 
     Returns (N,3) direct radiance (before division by light-select pdf).
@@ -124,7 +127,8 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx):
     # ---- strategy 1: sample the light ------------------------------------
     ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
     wi_local = trace.to_local(it, ls.wi)
-    f_light, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local, wi_local)
+    f_light, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local,
+                                         wi_local, kd_override)
     f_light = f_light * absdot(ls.wi, it.ns)[..., None]
     contrib_possible = (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1) & jnp.any(f_light > 0, axis=-1)
     # visibility (shadow ray) only where it can matter
@@ -139,7 +143,7 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx):
 
     # ---- strategy 2: sample the BSDF (non-delta lights only) --------------
     smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_scatter,
-                         u_scatter[..., 0])
+                         u_scatter[..., 0], kd_override)
     wi_world = trace.to_world(it, smp.wi)
     f_b = smp.f * absdot(wi_world, it.ns)[..., None]
     do_bsdf = (~ls.is_delta) & smp.valid & (smp.pdf > 0) & (
@@ -246,7 +250,9 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
-        ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx)
+        kd_ov = mat_mod.resolve_kd(scene, cfg, it.mat, it.uv) if cfg.has_textures else None
+        ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
+                             kd_ov)
         nee_ok = alive & has_ns
         L = L + jnp.where(
             nee_ok[..., None],
@@ -257,7 +263,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         # extension: sample the BSDF
         u_bsdf = ub[:, 5:7]
         smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
-                             u_bsdf[..., 0])
+                             u_bsdf[..., 0], kd_ov)
         cos_factor = jnp.ones_like(smp.pdf)  # folded into smp.weight
         beta = state.beta * smp.weight
         alive = alive & smp.valid & jnp.any(beta > 0, axis=-1)

@@ -53,7 +53,22 @@ def has_nonspecular(mats: MaterialTable, mid, cfg):
     return ns
 
 
-def evaluate(mats: MaterialTable, mid, cfg, wo, wi):
+def resolve_kd(scene, cfg, mid, uv):
+    """Per-hit diffuse/base color: texture lookup where kd_tex >= 0
+    (Texture<T>::Evaluate, core/Texture.h:105-112), else the table color."""
+    mats = scene.materials
+    kd = _g(mats.kd, mid)
+    if not getattr(cfg, "has_textures", False) or scene.textures is None:
+        return kd
+    from ..ops.texture import bilinear_lookup
+
+    atlas, offs, sizes = scene.textures
+    tex_id = _g(mats.kd_tex, mid)
+    val = bilinear_lookup(atlas, offs, sizes, jnp.maximum(tex_id, 0), uv)
+    return jnp.where((tex_id >= 0)[..., None], val, kd)
+
+
+def evaluate(mats: MaterialTable, mid, cfg, wo, wi, kd_override=None):
     """f and pdf over non-specular lobes (BSDF::f / BSDF::Pdf,
     Reflection.cpp:440,548)."""
     kind = _g(mats.kind, mid)
@@ -63,7 +78,7 @@ def evaluate(mats: MaterialTable, mid, cfg, wo, wi):
 
     if MAT_MATTE in cfg.mat_kinds:
         m = kind == MAT_MATTE
-        kd = _g(mats.kd, mid)
+        kd = kd_override if kd_override is not None else _g(mats.kd, mid)
         sigma = _g(mats.sigma, mid)
         f_on = bxdf.oren_nayar_f(wo, wi, kd, sigma)
         f_lam = bxdf.lambert_f(wo, wi, kd)
@@ -75,14 +90,14 @@ def evaluate(mats: MaterialTable, mid, cfg, wo, wi):
     if MAT_METAL in cfg.mat_kinds or MAT_PLASTIC in cfg.mat_kinds or MAT_GLASS in cfg.mat_kinds or MAT_DISNEY in cfg.mat_kinds:
         from . import microfacet as mf
 
-        f2, p2, mask2 = mf.evaluate_glossy(mats, mid, cfg, wo, wi)
+        f2, p2, mask2 = mf.evaluate_glossy(mats, mid, cfg, wo, wi, kd_override)
         f = jnp.where(mask2[..., None], f2, f)
         pdf = jnp.where(mask2, p2, pdf)
 
     return f, pdf
 
 
-def sample(mats: MaterialTable, mid, cfg, wo, u2, uc):
+def sample(mats: MaterialTable, mid, cfg, wo, u2, uc, kd_override=None):
     """BSDF::Sample_f dispatch (Reflection.cpp:474-546).
 
     u2: (N,2) direction sample; uc: (N,) lobe-choice sample.
@@ -100,7 +115,7 @@ def sample(mats: MaterialTable, mid, cfg, wo, u2, uc):
 
     if MAT_MATTE in cfg.mat_kinds:
         m = kind == MAT_MATTE
-        kd = _g(mats.kd, mid)
+        kd = kd_override if kd_override is not None else _g(mats.kd, mid)
         sigma = _g(mats.sigma, mid)
         wi_m = bxdf.diffuse_sample_wi(wo, u2)
         f_on = bxdf.oren_nayar_f(wo, wi_m, kd, sigma)
@@ -151,7 +166,7 @@ def sample(mats: MaterialTable, mid, cfg, wo, u2, uc):
     if MAT_METAL in cfg.mat_kinds or MAT_PLASTIC in cfg.mat_kinds or MAT_DISNEY in cfg.mat_kinds:
         from . import microfacet as mf
 
-        smp2, mask2 = mf.sample_glossy(mats, mid, cfg, wo, u2, uc)
+        smp2, mask2 = mf.sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override)
         wi = jnp.where(mask2[..., None], smp2.wi, wi)
         weight = jnp.where(mask2[..., None], smp2.weight, weight)
         pdf = jnp.where(mask2, smp2.pdf, pdf)

@@ -206,7 +206,7 @@ def microfacet_transmission_pdf(wo, wi, ax, ay, eta_a, eta_b):
 # Dispatch: evaluate / sample over glossy material kinds
 # ---------------------------------------------------------------------------
 
-def evaluate_glossy(mats, mid, cfg, wo, wi):
+def evaluate_glossy(mats, mid, cfg, wo, wi, kd_override=None):
     """(f, pdf, handled_mask) for METAL / PLASTIC / rough GLASS / DISNEY."""
     kind = jnp.take(mats.kind, mid, axis=0)
     n = mid.shape[0]
@@ -230,7 +230,7 @@ def evaluate_glossy(mats, mid, cfg, wo, wi):
         # PlasticMaterial (PlasticMaterial.cpp:15): Lambertian kd + GGX ks
         # with dielectric Fresnel 1.5; BSDF::f sums lobes, pdf averages.
         m = kind == MAT_PLASTIC
-        kd = jnp.take(mats.kd, mid, axis=0)
+        kd = kd_override if kd_override is not None else jnp.take(mats.kd, mid, axis=0)
         ks = jnp.take(mats.ks, mid, axis=0)
         fres = lambda c: bxdf.fr_dielectric(c, 1.5, 1.0)[..., None]
         f_spec = microfacet_reflection_f(wo, wi, ax, ay, fres, ks)
@@ -265,7 +265,7 @@ def evaluate_glossy(mats, mid, cfg, wo, wi):
     if MAT_DISNEY in cfg.mat_kinds:
         from . import disney
 
-        f_d, p_d, m = disney.evaluate(mats, mid, cfg, wo, wi)
+        f_d, p_d, m = disney.evaluate(mats, mid, cfg, wo, wi, kd_override)
         f = jnp.where(m[..., None], f_d, f)
         pdf = jnp.where(m, p_d, pdf)
         handled = handled | m
@@ -273,7 +273,7 @@ def evaluate_glossy(mats, mid, cfg, wo, wi):
     return f, pdf, handled
 
 
-def sample_glossy(mats, mid, cfg, wo, u2, uc):
+def sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override=None):
     """BsdfSample for glossy kinds; returns (sample, handled_mask)."""
     from .materials import BsdfSample
 
@@ -318,7 +318,7 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc):
 
     if MAT_PLASTIC in cfg.mat_kinds:
         m = kind == MAT_PLASTIC
-        kd = jnp.take(mats.kd, mid, axis=0)
+        kd = kd_override if kd_override is not None else jnp.take(mats.kd, mid, axis=0)
         ks = jnp.take(mats.ks, mid, axis=0)
         pick_spec = uc < 0.5
         # remap uc-half to full for wh sample (lobe select remap,
@@ -370,7 +370,7 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc):
     if MAT_DISNEY in cfg.mat_kinds:
         from . import disney
 
-        smp_d, m = disney.sample(mats, mid, cfg, wo, u2, uc)
+        smp_d, m = disney.sample(mats, mid, cfg, wo, u2, uc, kd_override)
         wi = jnp.where(m[..., None], smp_d.wi, wi)
         weight = jnp.where(m[..., None], smp_d.weight, weight)
         pdf = jnp.where(m, smp_d.pdf, pdf)

@@ -1,0 +1,102 @@
+"""Image textures: host-side mip pyramid build + differentiable lookup.
+
+Replaces the reference texture stack (/root/reference/core/Texture.h:105,
+core/MIPMap.h, textures/ImageTexture.h): textures are resampled host-side
+to a common power-of-two resolution and stacked into one (K, H, W, 3)
+device array; lookups are bilinear (or trilinear across the stacked
+pyramid) gathers + lerps — differentiable w.r.t. texels (the gradient is a
+scatter-add, which jax generates automatically for gather transposes).
+
+The mip pyramid is stored widest-level-first inside the H axis of a
+(K, H_total, W, 3) atlas with per-level row offsets, so one array carries
+all levels of all textures.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _resize_pow2(img, size):
+    """Box-filter resample to (size, size) (the reference uses Lanczos,
+    MIPMap.h resampleWeights; box is sufficient for minification)."""
+    h, w = img.shape[:2]
+    ys = (np.linspace(0, h - 1, size)).astype(int)
+    xs = (np.linspace(0, w - 1, size)).astype(int)
+    return img[ys][:, xs]
+
+
+def build_texture_atlas(images, base_size=256):
+    """Stack images into a mip atlas.
+
+    Returns (atlas (K, H_total, base, 3) jnp, level_offsets (L,), level_sizes (L,)).
+    H_total = base + base/2 + ... + 1.
+    """
+    levels = int(np.log2(base_size)) + 1
+    sizes = [base_size >> l for l in range(levels)]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    h_total = int(np.sum(sizes))
+    atlas = np.zeros((len(images), h_total, base_size, 3), np.float32)
+    for k, img in enumerate(images):
+        img = np.asarray(img, np.float32)
+        level = _resize_pow2(img, base_size)
+        for l, s in enumerate(sizes):
+            if l > 0:
+                # 2x2 box downsample of previous level
+                prev = level
+                level = 0.25 * (
+                    prev[0::2, 0::2] + prev[1::2, 0::2]
+                    + prev[0::2, 1::2] + prev[1::2, 1::2]
+                )
+            atlas[k, offsets[l]: offsets[l] + s, :s] = level
+    return (jnp.asarray(atlas), jnp.asarray(offsets), jnp.asarray(sizes, jnp.int32))
+
+
+def bilinear_lookup(atlas, offsets, sizes, tex_id, uv, level=0):
+    """Bilinear texel lookup at a mip level (MIPMap::triangle,
+    core/MIPMap.h:226 semantics, Repeat wrap mode).
+
+    atlas: (K, H_total, W, 3); tex_id: (N,); uv: (N,2).
+    """
+    s = sizes[level]
+    off = offsets[level]
+    sf = s.astype(jnp.float32)
+    u = uv[..., 0] * sf - 0.5
+    v = uv[..., 1] * sf - 0.5
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0.astype(jnp.float32))[..., None]
+    dv = (v - v0.astype(jnp.float32))[..., None]
+
+    def texel(ui, vi):
+        ui = jnp.mod(ui, s)
+        vi = jnp.mod(vi, s)
+        return atlas[tex_id, off + vi, ui]
+
+    return (
+        (1 - du) * (1 - dv) * texel(u0, v0)
+        + du * (1 - dv) * texel(u0 + 1, v0)
+        + (1 - du) * dv * texel(u0, v0 + 1)
+        + du * dv * texel(u0 + 1, v0 + 1)
+    )
+
+
+def trilinear_lookup(atlas, offsets, sizes, tex_id, uv, width):
+    """Trilinear lookup with filter width -> mip level selection
+    (MIPMap::Lookup(st, width), core/MIPMap.h:226-258)."""
+    n_levels = sizes.shape[0]
+    base = sizes[0].astype(jnp.float32)
+    level_f = n_levels - 1 + jnp.log2(jnp.maximum(width, 1e-8))
+    level_f = jnp.clip(level_f + jnp.log2(base) - (n_levels - 1), 0.0,
+                       n_levels - 1.0)
+    l0 = jnp.floor(level_f).astype(jnp.int32)
+    dl = (level_f - l0.astype(jnp.float32))[..., None]
+    # two-level blend; levels are traced per-lane -> use where over levels
+    out0 = jnp.zeros((uv.shape[0], 3), jnp.float32)
+    out1 = jnp.zeros((uv.shape[0], 3), jnp.float32)
+    for l in range(n_levels):
+        m0 = (l0 == l)[..., None]
+        m1 = (jnp.minimum(l0 + 1, n_levels - 1) == l)[..., None]
+        val = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, l)
+        out0 = jnp.where(m0, val, out0)
+        out1 = jnp.where(m1, val, out1)
+    return (1 - dl) * out0 + dl * out1

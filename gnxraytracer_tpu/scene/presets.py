@@ -112,6 +112,76 @@ def cornell_box(width=500, height=500, sigma=60.0, skybox=True,
     return scene, cam
 
 
+def cornell_glass(width=500, height=500):
+    """BASELINE config 3: Cornell with Glass / Mirror / Disney objects."""
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=60.0)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    glass = b.add_glass(eta=1.5)
+    disney = b.add_disney((0.7, 0.3, 0.2), rough_u=0.3, metallic=0.4,
+                          clearcoat=1.0, sheen=0.5)
+    b.add_sphere((-1.3, -1.6, 0.2), 0.9, glass)
+    b.add_sphere((1.3, -1.6, -0.5), 0.9, mats["mirror"])
+    b.add_sphere((0.0, -1.8, 1.2), 0.7, disney)
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
+def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None):
+    """BASELINE config 4: mesh via BVH + InfiniteAreaLight HDR environment
+    (reference AddInfLight, ModelList.cpp:172-179: MonValley1000.hdr with
+    LightToWorld = RotateX(20)*RotateY(-90)*RotateX(-90))."""
+    import os
+
+    if hdr_path is None:
+        hdr_path = "/root/reference/Resources/MonValley1000.hdr"
+    b = SceneBuilder()
+    mat = b.add_disney((0.6, 0.5, 0.45), rough_u=0.35, metallic=0.1)
+    floor_mat = b.add_matte((0.6, 0.6, 0.6), sigma=0.0)
+    if mesh is None:
+        from .loaders import make_test_mesh
+
+        mesh = make_test_mesh(5)
+    v, t = mesh
+    b.add_mesh(v, t, mat, transform=_translate([0.0, -0.5, 0.0]))
+    # ground plane
+    g = 6.0
+    gv = np.array([[-g, -1.7, g], [g, -1.7, g], [-g, -1.7, -g],
+                   [g, -1.7, g], [g, -1.7, -g], [-g, -1.7, -g]], np.float32)
+    b.add_mesh(gv, np.arange(6).reshape(2, 3), floor_mat)
+    if os.path.exists(hdr_path):
+        from ..utils.image import load_image
+
+        img = load_image(hdr_path)
+        l2w = _rot_x(20) @ _rot_y(-90) @ _rot_x(-90)
+        b.set_environment(img, light_to_world=l2w)
+    else:
+        b.add_skybox_light()
+    scene = b.build(bvh=True)
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.8, 5.0),
+                                  look=(0.0, -0.3, 0.0))
+    return scene, cam
+
+
+def _rot_x(deg):
+    r = np.deg2rad(deg)
+    c, s = np.cos(r), np.sin(r)
+    m = np.eye(4)
+    m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s, s, c
+    return m
+
+
+def _rot_y(deg):
+    r = np.deg2rad(deg)
+    c, s = np.cos(r), np.sin(r)
+    m = np.eye(4)
+    m[0, 0], m[0, 2], m[2, 0], m[2, 2] = c, s, -s, c
+    return m
+
+
 def volumetric_cornell(width=128, height=128, use_reference_volume=True):
     """BASELINE config 5: GridDensityMedium (density_render.70.volume) in a
     null-boundary box inside the Cornell scene + a homogeneous-interior

@@ -165,6 +165,7 @@ class SceneBuilder:
         self.materials = []  # dicts
         self.lights = []  # dicts
         self.media = []  # dicts
+        self.textures = []  # host images for the mip atlas
         self.env = None
         self.camera_medium = -1
         self._vtx_count = 0
@@ -209,8 +210,14 @@ class SceneBuilder:
         self.materials.append(m)
         return len(self.materials) - 1
 
-    def add_matte(self, kd, sigma=0.0):
-        return self.add_material(MAT_MATTE, kd=kd, sigma=sigma)
+    def add_texture(self, image):
+        """Register an image texture (ImageTexture, textures/ImageTexture.h);
+        returns texture id usable as kd_tex on any material."""
+        self.textures.append(np.asarray(image, np.float32))
+        return len(self.textures) - 1
+
+    def add_matte(self, kd, sigma=0.0, kd_tex=-1):
+        return self.add_material(MAT_MATTE, kd=kd, sigma=sigma, kd_tex=kd_tex)
 
     def add_mirror(self, kr=(0.9, 0.9, 0.9)):
         return self.add_material(MAT_MIRROR, kr=kr)
@@ -409,6 +416,12 @@ class SceneBuilder:
                 light_to_world=jnp.asarray(np.asarray(l2w, np.float32)),
             )
 
+        textures = None
+        if self.textures:
+            from ..ops.texture import build_texture_atlas
+
+            textures = build_texture_atlas(self.textures)
+
         media = None
         if self.media:
             grid = None
@@ -445,7 +458,7 @@ class SceneBuilder:
             bvh_arrays = build_bvh(verts, tris)
 
         return Scene(
-            geom=geom, materials=mat, lights=lights, env=env, textures=None,
+            geom=geom, materials=mat, lights=lights, env=env, textures=textures,
             media=media, camera_medium=self.camera_medium,
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
