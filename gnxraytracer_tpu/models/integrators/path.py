@@ -107,9 +107,31 @@ def make_config(scene, width, height, spp, **kw):
 # Direct lighting (UniformSampleOneLight + EstimateDirect)
 # ---------------------------------------------------------------------------
 
-def _choose_light(scene, cfg, u):
-    """Uniform light selection (core/Integrator.cpp:66-70)."""
+def _choose_light(scene, cfg, u, p=None):
+    """Light selection by the configured strategy (the reference's
+    LightDistribution, core/LightDistribution.cpp):
+      uniform — 1/nLights (core/Integrator.cpp:66-70)
+      power   — proportional to Light::Power().y()
+      spatial — per-voxel precomputed CDF (needs scene.light_dist; falls
+                back to power when absent or p not given)
+    """
     nl = cfg.n_lights
+    if cfg.light_strategy == "spatial" and scene.light_dist is not None and p is not None:
+        from ..light_dist import spatial_choose_light
+
+        return spatial_choose_light(scene.light_dist, p, u)
+    if cfg.light_strategy in ("power", "spatial"):
+        from ..light_dist import light_powers
+
+        pw = light_powers(scene)
+        total = jnp.sum(pw)
+        pmf = jnp.where(total > 0, pw / jnp.maximum(total, 1e-12),
+                        jnp.full((nl,), 1.0 / nl))
+        cdf = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(pmf)])
+        idx = jnp.clip(
+            jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=1) - 1, 0, nl - 1
+        )
+        return idx.astype(jnp.int32), pmf[idx]
     idx = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
     pdf = jnp.full(u.shape, 1.0 / nl, jnp.float32)
     return idx, pdf
@@ -249,7 +271,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
-        light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+        light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
         kd_ov = mat_mod.resolve_kd(scene, cfg, it.mat, it.uv) if cfg.has_textures else None
         ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
                              kd_ov)

@@ -39,7 +39,7 @@ def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
     light-sample strategy with phase eval + Tr visibility, plus
     phase-sample strategy MIS (core/Integrator.cpp:124-131,172-177)."""
     n = p.shape[0]
-    light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+    light_idx, light_pdf = _choose_light(scene, cfg, u_sel, p)
     ls = lights_mod.sample_li(scene, cfg, light_idx, p, u_light)
     cos_t = dot(wo, ls.wi)
     phase_p = media_mod.hg_p(cos_t, g_hg)
@@ -161,7 +161,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         wo_local = trace.to_local(it, it.wo)
         has_ns = mat_mod.has_nonspecular(scene.materials,
                                          jnp.maximum(it.mat, 0), cfg)
-        light_idx, light_pdf = _choose_light(scene, cfg, u_sel)
+        light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
         from .path import estimate_direct
 
         it_safe = it._replace(mat=jnp.maximum(it.mat, 0))

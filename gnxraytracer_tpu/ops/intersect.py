@@ -3,12 +3,13 @@
 The watertight ray-triangle test follows the same algorithm as the
 reference (/root/reference/shape/Triangle.cpp:71-300 — translate to ray
 origin, permute axes so |d| is largest in z, shear, signed edge functions,
-conservative deltaT error bound), but fully vectorized over a
-(rays x triangles) broadcast instead of a per-ray scalar loop.  The one
-deliberate deviation: the reference re-evaluates exactly-zero edge
-functions in float64; TPUs have no f64, so that fallback is omitted (it
-only fires on mathematically exact edge crossings; our unit tests compare
-against a float64 oracle away from those).
+conservative deltaT error bound), vectorized two ways: a (rays x
+triangles) broadcast for mid-size T, and a lanes-flat fori_loop over
+triangles for small scenes (full 128-lane VPU utilization).  The
+reference's float64 re-evaluation of exactly-zero edge functions
+(shape/Triangle.cpp:153-160) is replaced by an FMA-safe zero snap
+(_edge_fn) — f64 doesn't exist on TPU, and XLA's FMA fusion otherwise
+breaks the exact cancellation watertightness relies on.
 
 Sphere intersection implements the *full* quadratic hit (the reference
 Sphere is a stub that never fills the hit record, shape/Sphere.h:28-56 —
@@ -24,6 +25,26 @@ from ..constants import INFINITY, gamma
 GAMMA3 = gamma(3)
 GAMMA5 = gamma(5)
 GAMMA7 = gamma(7)
+
+# f32 machine epsilon scale for the edge-function zero snap (see _edge_fn)
+_EDGE_EPS = 4.0 * 1.1920929e-07
+
+
+def _edge_fn(ax, ay, bx, by):
+    """2D edge function a.x*b.y - a.y*b.x with a zero-snap.
+
+    Under XLA the subtraction fuses into an FMA, so the exact cancellation
+    the watertight algorithm relies on (shared-edge e == 0) leaves a tiny
+    residue and rays leak through shared edges.  The reference fixes exact
+    zeros with a float64 re-evaluation (shape/Triangle.cpp:153-160); TPUs
+    have no f64, so values within the FMA residue bound of zero are
+    snapped to exactly zero — equivalent acceptance behavior on edges.
+    """
+    p = ax * by
+    q = ay * bx
+    e = p - q
+    tiny = jnp.abs(e) <= _EDGE_EPS * (jnp.abs(p) + jnp.abs(q))
+    return jnp.where(tiny, 0.0, e)
 
 
 class TriHit(NamedTuple):
@@ -93,11 +114,11 @@ def ray_triangles_watertight(o, d, t_max, p0, p1, p2):
     x2 = p2x + sx * p2z
     y2 = p2y + sy * p2z
 
-    e0 = x1 * y2 - y1 * x2
-    e1 = x2 * y0 - y2 * x0
-    e2 = x0 * y1 - y0 * x1
+    e0 = _edge_fn(x1, y1, x2, y2)
+    e1 = _edge_fn(x2, y2, x0, y0)
+    e2 = _edge_fn(x0, y0, x1, y1)
 
-    # Same-sign test (no f64 fallback; see module docstring)
+    # Same-sign test (zero-snapped edge functions; see _edge_fn)
     neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
     pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
     det = e0 + e1 + e2
@@ -137,12 +158,109 @@ def ray_triangles_watertight(o, d, t_max, p0, p1, p2):
     return valid, t, b0, b1, b2
 
 
+# Below this triangle count, brute force iterates triangles in a static
+# python loop over flat (N,) lane arrays — full 128-lane VPU utilization —
+# instead of broadcasting to (N, T) whose tiny minor axis wastes the
+# vector unit.  Above it, use the (N, T) broadcast (or the BVH).
+SMALL_SCENE_T = 64
+
+
+def _watertight_one(ox, oy, oz, m0, m1, sx, sy, sz, t_max, q0, q1, q2):
+    """Watertight test of all rays against ONE triangle (flat (N,) math).
+
+    q0/q1/q2: (3,) triangle vertices (traced scalars broadcast to lanes).
+    Returns (valid, t, b0, b1, b2) each (N,).
+    """
+    def permuted(q):
+        px = q[0] - ox
+        py = q[1] - oy
+        pz = q[2] - oz
+        x = jnp.where(m0, py, jnp.where(m1, pz, px))
+        y = jnp.where(m0, pz, jnp.where(m1, px, py))
+        z = jnp.where(m0, px, jnp.where(m1, py, pz))
+        return x + sx * z, y + sy * z, z
+
+    x0, y0, z0 = permuted(q0)
+    x1, y1, z1 = permuted(q1)
+    x2, y2, z2 = permuted(q2)
+    e0 = _edge_fn(x1, y1, x2, y2)
+    e1 = _edge_fn(x2, y2, x0, y0)
+    e2 = _edge_fn(x0, y0, x1, y1)
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    det = e0 + e1 + e2
+    valid = ~(neg & pos) & (det != 0)
+    z0 = sz * z0
+    z1 = sz * z1
+    z2 = sz * z2
+    t_scaled = e0 * z0 + e1 * z1 + e2 * z2
+    det_neg = det < 0
+    bad_neg = det_neg & ((t_scaled >= 0) | (t_scaled < t_max * det))
+    bad_pos = (~det_neg) & ((t_scaled <= 0) | (t_scaled > t_max * det))
+    valid &= ~(bad_neg | bad_pos)
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    t = t_scaled * inv_det
+    # conservative deltaT bound
+    max_zt = jnp.maximum(jnp.maximum(jnp.abs(z0), jnp.abs(z1)), jnp.abs(z2))
+    max_xt = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(x1)), jnp.abs(x2))
+    max_yt = jnp.maximum(jnp.maximum(jnp.abs(y0), jnp.abs(y1)), jnp.abs(y2))
+    delta_x = GAMMA5 * (max_xt + max_zt)
+    delta_y = GAMMA5 * (max_yt + max_zt)
+    delta_e = 2.0 * (gamma(2) * max_xt * max_yt + delta_y * max_xt + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    delta_t = 3.0 * (GAMMA3 * max_e * max_zt + delta_e * max_zt
+                     + GAMMA3 * max_zt * max_e) * jnp.abs(inv_det)
+    valid &= t > delta_t
+    return valid, t, e0 * inv_det, e1 * inv_det, e2 * inv_det
+
+
+def closest_triangle_hit_small(o, d, t_max, vertices, triangles):
+    """Rolled-loop brute force for small T: flat (N,) lane math inside a
+    lax.fori_loop over triangles — full lane utilization AND compact HLO
+    (the python-unrolled variant exploded compile time)."""
+    import jax
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    (m0, m1), shear = _permute_shear(o, d)
+    sx, sy, sz = shear[:, 0], shear[:, 1], shear[:, 2]
+    n = o.shape[0]
+    init = (
+        jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), bool),
+    )
+
+    def body(ti, carry):
+        best_t, best_tri, best_b, hit = carry
+        tri = triangles[ti]
+        q0 = vertices[tri[0]]
+        q1 = vertices[tri[1]]
+        q2 = vertices[tri[2]]
+        valid, t, b0, b1, b2 = _watertight_one(
+            ox, oy, oz, m0, m1, sx, sy, sz, best_t, q0, q1, q2
+        )
+        better = valid & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_tri = jnp.where(better, ti, best_tri)
+        best_b = jnp.where(better[:, None], jnp.stack([b0, b1, b2], -1), best_b)
+        return best_t, best_tri, best_b, hit | better
+
+    best_t, best_tri, best_b, hit = jax.lax.fori_loop(
+        0, triangles.shape[0], body, init
+    )
+    return TriHit(hit=hit, t=jnp.where(hit, best_t, INFINITY), tri=best_tri,
+                  b=best_b)
+
+
 def closest_triangle_hit(o, d, t_max, vertices, triangles):
     """Brute-force closest hit over an indexed mesh.
 
     o, d: (N,3); t_max: (N,); vertices: (V,3); triangles: (T,3) int32.
     Good for small scenes (Cornell box); large meshes go through the BVH.
     """
+    if triangles.shape[0] <= SMALL_SCENE_T:
+        return closest_triangle_hit_small(o, d, t_max, vertices, triangles)
     p0 = vertices[triangles[:, 0]]
     p1 = vertices[triangles[:, 1]]
     p2 = vertices[triangles[:, 2]]
@@ -162,6 +280,25 @@ def closest_triangle_hit(o, d, t_max, vertices, triangles):
 
 def any_triangle_hit(o, d, t_max, vertices, triangles):
     """Brute-force any-hit (shadow ray, IntersectP semantics)."""
+    if triangles.shape[0] <= SMALL_SCENE_T:
+        import jax
+
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        (m0, m1), shear = _permute_shear(o, d)
+        sx, sy, sz = shear[:, 0], shear[:, 1], shear[:, 2]
+        n = o.shape[0]
+        t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+
+        def body(ti, occ):
+            tri = triangles[ti]
+            valid, _, _, _, _ = _watertight_one(
+                ox, oy, oz, m0, m1, sx, sy, sz, t_max,
+                vertices[tri[0]], vertices[tri[1]], vertices[tri[2]],
+            )
+            return occ | valid
+
+        return jax.lax.fori_loop(0, triangles.shape[0], body,
+                                 jnp.zeros((n,), bool))
     p0 = vertices[triangles[:, 0]]
     p1 = vertices[triangles[:, 1]]
     p2 = vertices[triangles[:, 2]]

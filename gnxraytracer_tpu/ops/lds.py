@@ -96,6 +96,15 @@ def radical_inverse_permutations():
     path = os.path.join(cache, "halton_perms_v1.npy")
     if os.path.exists(path):
         return np.load(path)
+    try:
+        from ..native import halton_permutations as native_perms
+
+        perms = native_perms(primes())
+        os.makedirs(cache, exist_ok=True)
+        np.save(path, perms)
+        return perms
+    except Exception:
+        pass
     p = primes()
     sums = prime_sums()
     total = int(p.astype(np.int64).sum())

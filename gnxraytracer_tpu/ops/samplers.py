@@ -64,6 +64,18 @@ def make_random_sampler(spp, seed=0):
     return Sampler(kind="random", spp=spp, seed=seed)
 
 
+def make_sobol_sampler(spp, seed=0):
+    """Owen-scrambled padded Sobol' sampler (ops/sobol.py): global index =
+    sample number; each (pixel, dim) pair gets an independent Owen
+    scramble, so pixels decorrelate without the reference's CRT index
+    machinery.  Replaces the reference's unused Sobol table machinery
+    (samplers/LowDiscrepancy.h:194-252) with a generated-matrix design."""
+    from . import sobol as _sobol
+
+    _sobol.sobol_matrices()  # build/cache host-side
+    return Sampler(kind="sobol", spp=spp, seed=seed)
+
+
 def make_halton_sampler(spp, width, height, seed=0):
     offsets, meta = lds.halton_pixel_offsets(width, height)
     return Sampler(
@@ -95,6 +107,15 @@ def sample_dim(s: Sampler, pixel, sample, dim):
     """
     if s.kind == "random":
         return rng.uniform_float(pixel, sample, dim, s.seed)
+    if s.kind == "sobol":
+        from . import sobol as _sobol
+
+        if not isinstance(dim, (int, np.integer)):
+            raise ValueError("sobol sampler requires static dims; use "
+                             "sample_all_dims in traced loops")
+        v = _sobol.sobol_u32_static(int(dim), sample.astype(jnp.uint32))
+        v = _sobol.owen_scramble(v, rng.hash_combine(pixel, int(dim), s.seed))
+        return _sobol.to_unit_float(v)
     # halton
     idx = global_index(s, pixel, sample)
 
@@ -137,6 +158,19 @@ def sample_all_dims(s: Sampler, pixel, sample, n_dims: int):
     if s.kind == "random":
         dims = jnp.arange(n_dims, dtype=jnp.int32)[None, :]
         return rng.uniform_float(pixel[:, None], sample[:, None], dims, s.seed)
+    if s.kind == "sobol":
+        from . import sobol as _sobol
+
+        # all dims at once: 32 XOR-select steps over an (N, D) block
+        mats = jnp.asarray(_sobol.sobol_matrices()[:n_dims])  # (D, 32)
+        idx = sample.astype(jnp.uint32)
+        v = jnp.zeros((pixel.shape[0], n_dims), jnp.uint32)
+        for k in range(_sobol.N_BITS):
+            bit = (idx >> jnp.uint32(k)) & jnp.uint32(1)
+            v = jnp.where((bit == 1)[:, None], v ^ mats[None, :, k], v)
+        dims = jnp.arange(n_dims, dtype=jnp.int32)
+        seeds = rng.hash_combine(pixel[:, None], dims[None, :], s.seed)
+        return _sobol.to_unit_float(_sobol.owen_scramble(v, seeds))
     # halton
     idx = global_index(s, pixel, sample)
     host_primes = lds.primes()

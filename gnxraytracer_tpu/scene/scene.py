@@ -131,6 +131,7 @@ class Scene(NamedTuple):
     world_center: jnp.ndarray  # (3,)
     world_radius: jnp.ndarray  # ()
     bvh: Optional[tuple]  # BVH arrays (ops/bvh.py) or None -> brute force
+    light_dist: Optional[tuple] = None  # spatial light distribution grid
 
     @property
     def n_lights(self):
@@ -463,4 +464,5 @@ class SceneBuilder:
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             bvh=bvh_arrays,
+            light_dist=None,
         )
