@@ -26,24 +26,28 @@ def main():
     width = height = 500
     spp = 256
     max_depth = 8
-    spp_chunk = 8
+    spp_chunk = 2  # 500k lanes/chunk: fits HBM comfortably
 
     scene, camera = presets.cornell_box(width=width, height=height)
     cfg = path.make_config(scene, width, height, spp=spp, max_depth=max_depth,
                            spp_chunk=spp_chunk, rr_threshold=1.0)
     sampler = samplers.make_halton_sampler(spp, width, height)
 
-    # warmup / compile
-    img = path.render_chunk(scene, camera, sampler, cfg, 0, spp_chunk)
-    img.block_until_ready()
+    import numpy as np
+
+    # warmup / compile (block via host fetch: block_until_ready does not
+    # actually synchronize on the axon tunnel platform)
+    img = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
+    np.asarray(img[:1])
 
     t0 = time.time()
     acc = jnp.zeros((width * height, 3), jnp.float32)
     s = 0
     while s < spp:
-        acc = acc + path.render_chunk(scene, camera, sampler, cfg, s, spp_chunk)
+        acc = acc + path._render_chunk_jit(scene, camera, sampler, cfg, s,
+                                           spp_chunk)
         s += spp_chunk
-    acc.block_until_ready()
+    np.asarray(acc[:1])
     wall = time.time() - t0
 
     # ray accounting: per bounce up to max_depth: 1 extension + 1 shadow +

@@ -60,6 +60,14 @@ def scene_intersect(scene, cfg, o, d, t_max):
 
             th = bvh_closest_hit(scene.bvh, scene.geom.vertices,
                                  scene.geom.triangles, o, d, t_best)
+        elif getattr(cfg, "use_pallas", False):
+            from .pallas_intersect import pallas_closest_hit, tri_soa_from_mesh
+
+            soa = jnp.concatenate(
+                [scene.geom.vertices[scene.geom.triangles[:, k]] for k in range(3)],
+                axis=1,
+            )
+            th = pallas_closest_hit(o, d, t_best, soa)
         else:
             th = intersect.closest_triangle_hit(
                 o, d, t_best, scene.geom.vertices, scene.geom.triangles

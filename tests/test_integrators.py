@@ -60,7 +60,10 @@ class TestCornellWhitted:
         assert img_w.mean() > 0.1  # but not black
 
     def test_direct_between_whitted_and_path(self):
-        scene, cam = presets.cornell_box(width=16, height=16)
+        # skybox off: Direct's MIS BSDF-side picks up skybox Le that
+        # Whitted structurally cannot (reference EstimateDirect:159-207),
+        # so only the skybox-free scene has Direct == Whitted.
+        scene, cam = presets.cornell_box(width=16, height=16, skybox=False)
         cfg = path.make_config(scene, 16, 16, spp=64, max_depth=5, spp_chunk=32)
         s = samplers.make_random_sampler(64, seed=2)
         img_w = np.asarray(whitted.render(scene, cam, s, cfg)).mean()

@@ -74,6 +74,20 @@ class TestCornellRender:
         assert abs(img_h.mean() - img_r.mean()) / img_r.mean() < 0.1
 
 
+class TestFastMis:
+    def test_fast_mis_matches_faithful(self):
+        """The folded-MIS estimator (2 casts/bounce) must agree with the
+        reference-structured estimator in expectation."""
+        scene, cam = presets.cornell_box(width=16, height=16)
+        s = samplers.make_random_sampler(256, seed=11)
+        cfg_a = path.make_config(scene, 16, 16, spp=256, max_depth=5,
+                                 spp_chunk=64, fast_mis=False)
+        cfg_b = cfg_a._replace(fast_mis=True)
+        a = np.asarray(path.render(scene, cam, s, cfg_a))
+        b = np.asarray(path.render(scene, cam, s, cfg_b))
+        assert abs(a.mean() - b.mean()) / a.mean() < 0.03, (a.mean(), b.mean())
+
+
 class TestSpherePointLight:
     def test_sphere_renders(self):
         scene, cam = presets.sphere_point_light(32, 32)
