@@ -58,7 +58,8 @@ class RenderCfg(NamedTuple):
     has_media: bool = False
     has_textures: bool = False
     use_pallas: bool = False  # Pallas fused intersection kernel (TPU)
-    fast_mis: bool = False  # single-extension-ray MIS (2 casts/bounce vs 3)
+    fast_mis: bool = False    # single-extension-ray MIS (2 casts/bounce vs 3)
+    has_bump: bool = False    # any material carries a bump texture
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -101,6 +102,8 @@ def make_config(scene, width, height, spp, **kw):
         use_bvh=scene.bvh is not None,
         has_media=scene.media is not None,
         has_textures=scene.textures is not None,
+        has_bump=bool(scene.textures is not None
+                      and (np.asarray(scene.materials.bump_tex) >= 0).any()),
         **kw,
     )
 

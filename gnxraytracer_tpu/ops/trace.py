@@ -197,6 +197,33 @@ def make_interaction(scene, cfg, o, d, hit: Hit) -> Interaction:
             p_tri, p_err_tri, ng_tri, ns_tri, dpdu_tri, uv_tri, mat_tri, light_tri
         )
 
+    # bump mapping (Material::Bump, core/Material.cpp:16): displace the
+    # shading normal by forward differences of a height texture in uv
+    if getattr(cfg, "has_bump", False) and scene.textures is not None:
+        from .texture import bilinear_lookup
+
+        atlas, offs, sizes = scene.textures
+        b_tex = scene.materials.bump_tex[jnp.maximum(mat, 0)]
+        b_scale = scene.materials.bump_scale[jnp.maximum(mat, 0)]
+        has_b = b_tex >= 0
+        tid = jnp.maximum(b_tex, 0)
+        du = 0.5 / sizes[0].astype(jnp.float32)
+        h0 = bilinear_lookup(atlas, offs, sizes, tid, uv)[..., 0]
+        hu = bilinear_lookup(atlas, offs, sizes, tid,
+                             uv + jnp.asarray([1.0, 0.0]) * du)[..., 0]
+        hv = bilinear_lookup(atlas, offs, sizes, tid,
+                             uv + jnp.asarray([0.0, 1.0]) * du)[..., 0]
+        dhdu = (hu - h0) / du * b_scale
+        dhdv = (hv - h0) / du * b_scale
+        # perturbed frame: dpdu' = dpdu + dh/du * ns ; dpdv from ts
+        ts0 = cross(ns, normalize(dpdu, eps=1e-20))
+        dpdu_b = dpdu + dhdu[:, None] * ns
+        dpdv_b = ts0 + dhdv[:, None] * ns
+        ns_b = normalize(cross(dpdu_b, dpdv_b), eps=1e-20)
+        ns_b = face_forward(ns_b, ns)
+        ns = jnp.where(has_b[:, None], ns_b, ns)
+        dpdu = jnp.where(has_b[:, None], dpdu_b, dpdu)
+
     # shading frame: ss = normalized dpdu orthogonalized against ns
     ss = dpdu - ns * jnp.sum(ns * dpdu, axis=-1, keepdims=True)
     len2 = jnp.sum(ss * ss, axis=-1)

@@ -81,6 +81,8 @@ class MaterialTable(NamedTuple):
     rough_v: jnp.ndarray   # (M,)
     remap_rough: jnp.ndarray  # (M,) 1.0 if roughness->alpha remap applies
     kd_tex: jnp.ndarray    # (M,) i32 texture id for kd, or -1
+    bump_tex: jnp.ndarray  # (M,) i32 texture id for bump height, or -1
+    bump_scale: jnp.ndarray  # (M,) bump height scale
     # Disney 2015 extras (materials/DisneyMaterial.h:17)
     metallic: jnp.ndarray       # (M,)
     spec_trans: jnp.ndarray     # (M,)
@@ -202,7 +204,8 @@ class SceneBuilder:
             kind=kind, kd=(0.5, 0.5, 0.5), sigma=0.0, kr=(1.0, 1.0, 1.0),
             kt=(1.0, 1.0, 1.0), ks=(1.0, 1.0, 1.0), eta=1.5,
             eta3=(1.0, 1.0, 1.0), k3=(1.0, 1.0, 1.0), rough_u=0.0,
-            rough_v=0.0, remap_rough=1.0, kd_tex=-1,
+            rough_v=0.0, remap_rough=1.0, kd_tex=-1, bump_tex=-1,
+            bump_scale=1.0,
             metallic=0.0, spec_trans=0.0, specular_tint=0.0, anisotropic=0.0,
             sheen=0.0, sheen_tint=0.5, clearcoat=0.0, clearcoat_gloss=1.0,
             flatness=0.0, diff_trans=1.0, thin=0.0,
@@ -383,7 +386,8 @@ class SceneBuilder:
             for k in cols:
                 cols[k].append(m[k])
         mat = MaterialTable(**{
-            k: jnp.asarray(np.asarray(v, np.int32 if k in ("kind", "kd_tex") else np.float32))
+            k: jnp.asarray(np.asarray(
+                v, np.int32 if k in ("kind", "kd_tex", "bump_tex") else np.float32))
             for k, v in cols.items()
         })
 
