@@ -60,6 +60,9 @@ class RenderCfg(NamedTuple):
     use_pallas: bool = False  # Pallas fused intersection kernel (TPU)
     fast_mis: bool = False    # single-extension-ray MIS (2 casts/bounce vs 3)
     has_bump: bool = False    # any material carries a bump texture
+    pixel_filter: str = "box"  # box | gaussian (filter importance sampling)
+    filter_radius: float = 2.0
+    filter_alpha: float = 2.0
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -513,7 +516,9 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
     sample = jnp.repeat(
         sample_start + jnp.arange(n_samples, dtype=jnp.int32), hw
     )
-    p_film, time_u, p_lens = samplers.camera_sample(sampler, pixel, sample, cfg.width)
+    p_film, time_u, p_lens = samplers.camera_sample(
+        sampler, pixel, sample, cfg.width, cfg.pixel_filter,
+        cfg.filter_radius, cfg.filter_alpha)
     o, d, _t = cam_mod.generate_rays(camera, p_film, time_u, p_lens)
     tracer = trace_paths_fast if cfg.fast_mis else trace_paths
     L = tracer(scene, cfg, sampler, pixel, sample, o, d)

@@ -107,7 +107,9 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
     hw = cfg.width * cfg.height
     pixel = jnp.tile(jnp.arange(hw, dtype=jnp.int32), (n_samples,))
     sample = jnp.repeat(sample_start + jnp.arange(n_samples, dtype=jnp.int32), hw)
-    p_film, t_u, l_u = samplers.camera_sample(sampler, pixel, sample, cfg.width)
+    p_film, t_u, l_u = samplers.camera_sample(
+        sampler, pixel, sample, cfg.width, cfg.pixel_filter,
+        cfg.filter_radius, cfg.filter_alpha)
     o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
     L = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
     return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)

@@ -188,15 +188,33 @@ def sample_all_dims(s: Sampler, pixel, sample, n_dims: int):
     return jnp.stack(cols[:n_dims], axis=-1)
 
 
-def camera_sample(s: Sampler, pixel, sample, width):
+def camera_sample(s: Sampler, pixel, sample, width, pixel_filter="box",
+                  filter_radius=2.0, filter_alpha=2.0):
     """CameraSample per reference GetCameraSample (core/Sampler.cpp:14-20):
     dims 0-1 film jitter, dim 2 time, dims 3-4 lens.
+
+    pixel_filter "box" (reference behavior — uniform jitter in the pixel)
+    or "gaussian": filter-importance-sampled truncated Gaussian around the
+    pixel center, realizing the reference's (never-instantiated)
+    GaussianFilter e^{-alpha d^2} (filters/GaussianFilter.cpp:8) with
+    constant weight 1 — no splatting needed in a wavefront film.
 
     Returns (p_film (N,2) raster coords, time (N,), p_lens (N,2)).
     """
     px = (pixel % width).astype(jnp.float32)
     py = (pixel // width).astype(jnp.float32)
     jitter = sample_2d(s, pixel, sample, 0)
+    if pixel_filter == "gaussian":
+        from jax.scipy.special import erfinv
+
+        sigma = 1.0 / jnp.sqrt(2.0 * filter_alpha)
+        r = filter_radius
+        # inverse-CDF sampling of the truncated normal on [-r, r]
+        lo = jax.scipy.stats.norm.cdf(-r / sigma)
+        hi = jax.scipy.stats.norm.cdf(r / sigma)
+        u = lo + jitter * (hi - lo)
+        offset = sigma * jnp.sqrt(2.0) * erfinv(2.0 * u - 1.0)
+        jitter = 0.5 + offset
     p_film = jnp.stack([px, py], axis=-1) + jitter
     time = sample_dim(s, pixel, sample, 2)
     p_lens = sample_2d(s, pixel, sample, 3)
