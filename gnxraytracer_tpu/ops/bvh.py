@@ -28,7 +28,7 @@ from ..constants import INFINITY
 from .intersect import TriHit, _permute_shear
 
 LEAF_SIZE = 4
-MAX_STACK = 48
+MAX_STACK = 64  # matches the reference's 64-deep stack (BVHAccel.cpp:661)
 
 
 class BVH(NamedTuple):

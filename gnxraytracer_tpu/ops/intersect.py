@@ -253,14 +253,66 @@ def closest_triangle_hit_small(o, d, t_max, vertices, triangles):
                   b=best_b)
 
 
+TRI_BLOCK = 128  # one full VPU lane row per block
+
+
+def closest_triangle_hit_blocked(o, d, t_max, vertices, triangles):
+    """Blocked brute force for mid-size meshes: fori_loop over 128-triangle
+    blocks, each an (N, 128) watertight broadcast — the lane axis exactly
+    fills VPU rows, and the TPU's raw FLOPs beat divergent traversal up to
+    ~10^4-10^5 triangles (the classic FLOPs-for-control-flow trade)."""
+    import jax
+
+    n = o.shape[0]
+    t = triangles.shape[0]
+    n_blocks = (t + TRI_BLOCK - 1) // TRI_BLOCK
+    pad = n_blocks * TRI_BLOCK - t
+    # pad with degenerate triangles (index 0 repeated -> det == 0 -> miss)
+    tri_pad = jnp.concatenate(
+        [triangles, jnp.zeros((pad, 3), triangles.dtype)], axis=0)
+    p0 = vertices[tri_pad[:, 0]].reshape(n_blocks, TRI_BLOCK, 3)
+    p1 = vertices[tri_pad[:, 1]].reshape(n_blocks, TRI_BLOCK, 3)
+    p2 = vertices[tri_pad[:, 2]].reshape(n_blocks, TRI_BLOCK, 3)
+    real = (jnp.arange(n_blocks * TRI_BLOCK) < t).reshape(n_blocks, TRI_BLOCK)
+
+    def body(bi, carry):
+        best_t, best_tri, best_b, hit = carry
+        valid, tt, b0, b1, b2 = ray_triangles_watertight(
+            o, d, best_t, p0[bi], p1[bi], p2[bi])
+        valid &= real[bi][None, :]
+        t_m = jnp.where(valid, tt, INFINITY)
+        k = jnp.argmin(t_m, axis=-1)
+        rows = jnp.arange(n)
+        t_new = t_m[rows, k]
+        better = t_new < best_t
+        best_t = jnp.where(better, t_new, best_t)
+        best_tri = jnp.where(better, bi * TRI_BLOCK + k, best_tri)
+        bary = jnp.stack([b0[rows, k], b1[rows, k], b2[rows, k]], -1)
+        best_b = jnp.where(better[:, None], bary, best_b)
+        return best_t, best_tri, best_b, hit | better
+
+    init = (
+        jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), bool),
+    )
+    best_t, best_tri, best_b, hit = jax.lax.fori_loop(0, n_blocks, body, init)
+    return TriHit(hit=hit, t=jnp.where(hit, best_t, INFINITY),
+                  tri=best_tri.astype(jnp.int32), b=best_b)
+
+
 def closest_triangle_hit(o, d, t_max, vertices, triangles):
     """Brute-force closest hit over an indexed mesh.
 
     o, d: (N,3); t_max: (N,); vertices: (V,3); triangles: (T,3) int32.
-    Good for small scenes (Cornell box); large meshes go through the BVH.
+    Strategy by T: flat lane loop (small), 128-wide blocked broadcast
+    (mid); very large meshes go through the BVH instead.
     """
     if triangles.shape[0] <= SMALL_SCENE_T:
         return closest_triangle_hit_small(o, d, t_max, vertices, triangles)
+    if triangles.shape[0] > 4 * TRI_BLOCK:
+        return closest_triangle_hit_blocked(o, d, t_max, vertices, triangles)
     p0 = vertices[triangles[:, 0]]
     p1 = vertices[triangles[:, 1]]
     p2 = vertices[triangles[:, 2]]

@@ -68,6 +68,27 @@ class TestBVHTraversal:
         both = bh & fh
         np.testing.assert_allclose(bt[both], ft[both], rtol=1e-3, atol=1e-4)
 
+    def test_blocked_bruteforce_matches(self):
+        # T=2000 routes through the 128-wide blocked brute force
+        verts, idx = random_scene(2000, 9)
+        o, d = random_rays(256, 10)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(256, 1e30, jnp.float32)
+        from gnxraytracer_tpu.ops.intersect import (
+            closest_triangle_hit, closest_triangle_hit_blocked,
+            ray_triangles_watertight)
+
+        blocked = closest_triangle_hit_blocked(jnp.asarray(o), jnp.asarray(d),
+                                               t_max, vj, ij)
+        tree = bvh_mod.build_bvh(verts, idx)
+        fast = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                       jnp.asarray(d), t_max)
+        bh, fh = np.asarray(blocked.hit), np.asarray(fast.hit)
+        assert (bh != fh).sum() <= 3
+        both = bh & fh
+        np.testing.assert_allclose(np.asarray(blocked.t)[both],
+                                   np.asarray(fast.t)[both], rtol=1e-3)
+
     def test_any_hit_matches(self):
         verts, idx = random_scene(300, 4)
         o, d = random_rays(400, 5)
@@ -79,6 +100,25 @@ class TestBVHTraversal:
         fast = np.asarray(bvh_mod.bvh_any_hit(tree, vj, ij, jnp.asarray(o),
                                               jnp.asarray(d), t_max))
         assert (brute != fast).sum() <= 4
+
+    def test_lbvh_matches_bruteforce(self):
+        """On-device LBVH (morton + Karras linking) traversal parity."""
+        from gnxraytracer_tpu.ops import lbvh
+
+        verts, idx = random_scene(800, 11)
+        o, d = random_rays(300, 12)
+        tree = lbvh.build_lbvh(verts, idx)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(300, 1e30, jnp.float32)
+        fast = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                       jnp.asarray(d), t_max)
+        brute = intersect.closest_triangle_hit(jnp.asarray(o), jnp.asarray(d),
+                                               t_max, vj, ij)
+        bh, fh = np.asarray(brute.hit), np.asarray(fast.hit)
+        assert (bh != fh).sum() <= 3
+        both = bh & fh
+        np.testing.assert_allclose(np.asarray(brute.t)[both],
+                                   np.asarray(fast.t)[both], rtol=1e-3)
 
     def test_tmax_limits_hits(self):
         verts, idx = random_scene(100, 7)
