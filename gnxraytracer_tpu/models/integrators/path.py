@@ -96,13 +96,18 @@ def make_config(scene, width, height, spp, **kw):
 
     mat_kinds = tuple(sorted(set(np.asarray(scene.materials.kind).tolist())))
     light_kinds = tuple(sorted(set(np.asarray(scene.lights.kind).tolist())))
+    # blocked dense brute force beats (and is far safer than) the lockstep
+    # BVH walk on TPU below ~32k triangles: bounded kernel runtime, no
+    # per-step node gathers (PERF.md; the BVH kernel can trip the TPU
+    # watchdog at large N x deep trees). Override with use_bvh in kw.
+    kw.setdefault("use_bvh", scene.bvh is not None
+                  and int(scene.geom.triangles.shape[0]) > 32768)
     return RenderCfg(
         width=width, height=height, spp=spp,
         mat_kinds=mat_kinds, light_kinds=light_kinds,
         n_tris=int(scene.geom.triangles.shape[0]),
         n_sphs=int(scene.geom.sph_center.shape[0]),
         n_lights=int(scene.lights.kind.shape[0]),
-        use_bvh=scene.bvh is not None,
         has_media=scene.media is not None,
         has_textures=scene.textures is not None,
         has_bump=bool(scene.textures is not None

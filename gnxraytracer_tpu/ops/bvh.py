@@ -29,6 +29,7 @@ from .intersect import TriHit, _permute_shear
 
 LEAF_SIZE = 4
 MAX_STACK = 64  # matches the reference's 64-deep stack (BVHAccel.cpp:661)
+MAX_TRAV_STEPS = 4096  # termination guarantee for the lockstep walk
 
 
 class BVH(NamedTuple):
@@ -237,6 +238,7 @@ def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):
         best_uv: jnp.ndarray
         found: jnp.ndarray
         active: jnp.ndarray
+        step: jnp.ndarray
 
     st = St(
         cursor=jnp.zeros((n,), jnp.int32),
@@ -247,10 +249,14 @@ def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):
         best_uv=jnp.zeros((n, 2), jnp.float32),
         found=jnp.zeros((n,), bool),
         active=jnp.ones((n,), bool),
+        step=jnp.zeros((), jnp.int32),
     )
 
     def cond(st):
-        return jnp.any(st.active)
+        # hard step bound: guarantees kernel termination (an unbounded
+        # lockstep walk can run long enough to trip the TPU watchdog and
+        # crash the worker)
+        return jnp.any(st.active) & (st.step < MAX_TRAV_STEPS)
 
     def body(st):
         node = st.cursor
@@ -303,7 +309,8 @@ def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):
         sp = jnp.where(need_pop & ~empty, sp - 1, sp)
         active = st.active & ~(need_pop & empty)
 
-        return St(cursor, sp, stack, t_best, best_tri, best_uv, found, active)
+        return St(cursor, sp, stack, t_best, best_tri, best_uv, found,
+                  active, st.step + 1)
 
     st = jax.lax.while_loop(cond, body, st)
     b = jnp.stack(
@@ -327,6 +334,7 @@ def bvh_any_hit(bvh: BVH, verts, tris, o, d, t_max):
         stack: jnp.ndarray
         occluded: jnp.ndarray
         active: jnp.ndarray
+        step: jnp.ndarray
 
     st = St(
         cursor=jnp.zeros((n,), jnp.int32),
@@ -334,10 +342,11 @@ def bvh_any_hit(bvh: BVH, verts, tris, o, d, t_max):
         stack=jnp.zeros((n, MAX_STACK), jnp.int32),
         occluded=jnp.zeros((n,), bool),
         active=jnp.ones((n,), bool),
+        step=jnp.zeros((), jnp.int32),
     )
 
     def cond(st):
-        return jnp.any(st.active)
+        return jnp.any(st.active) & (st.step < MAX_TRAV_STEPS)
 
     def body(st):
         node = st.cursor
@@ -374,7 +383,7 @@ def bvh_any_hit(bvh: BVH, verts, tris, o, d, t_max):
         sp = jnp.where(need_pop & ~empty, sp - 1, sp)
         # lanes stop when stack empties or they're already occluded
         active = st.active & ~occluded & ~(need_pop & empty)
-        return St(cursor, sp, stack, occluded, active)
+        return St(cursor, sp, stack, occluded, active, st.step + 1)
 
     st = jax.lax.while_loop(cond, body, st)
     return st.occluded
