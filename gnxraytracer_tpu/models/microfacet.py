@@ -123,6 +123,136 @@ def tr_sample_wh(wo, u, ax, ay):
     return jnp.where(flip[..., None], -wh, wh)
 
 
+def beckmann_sample_wh(wo, u, ax, ay):
+    """Beckmann visible-normal sampling (MicroFacet.cpp:92-113
+    BeckmannSample: stretch -> sample P22 slopes -> rotate -> unstretch).
+
+    The slope CDF inversion (BeckmannSample11, MicroFacet.cpp:11-90) is a
+    10-step Newton/bisection hybrid in the erf domain; here all lanes run
+    the fixed 10 iterations with where-masked interval updates — same
+    math, lockstep on the VPU.
+    """
+    from jax.scipy.special import erf, erfinv
+
+    flip = wo[..., 2] < 0
+    w = jnp.where(flip[..., None], -wo, wo)
+    # 1. stretch
+    ws = normalize(jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], -1))
+    ci = jnp.clip(ws[..., 2], -1.0, 1.0)
+    u1 = jnp.maximum(u[..., 0], 1e-6)
+    u2 = u[..., 1]
+
+    # normal-incidence special case (cosTheta > .9999)
+    r_ni = jnp.sqrt(-jnp.log(jnp.maximum(1.0 - u1, 1e-12)))
+    sx_ni = r_ni * jnp.cos(2.0 * PI * u2)
+    sy_ni = r_ni * jnp.sin(2.0 * PI * u2)
+
+    # general case: numerical inversion in the erf domain
+    ci_safe = jnp.maximum(jnp.abs(ci), 1e-4)
+    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci_safe * ci_safe))
+    tan_ti = si / ci_safe
+    cot_ti = 1.0 / jnp.maximum(tan_ti, 1e-12)
+    sqrt_pi_inv = 1.0 / jnp.sqrt(PI)
+    a = jnp.full_like(u1, -1.0)
+    c = erf(cot_ti)
+    theta_i = jnp.arccos(jnp.clip(ci_safe, -1.0, 1.0))
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    b = c - (1.0 + c) * jnp.power(jnp.maximum(1.0 - u1, 1e-12), fit)
+    norm = 1.0 / (1.0 + c + sqrt_pi_inv * tan_ti * jnp.exp(-cot_ti * cot_ti))
+
+    def newton(_, carry):
+        a, b, c = carry
+        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
+        inv_erf = erfinv(jnp.clip(b, -1.0 + 1e-6, 1.0 - 1e-6))
+        value = norm * (
+            1.0 + b + sqrt_pi_inv * tan_ti * jnp.exp(-inv_erf * inv_erf)
+        ) - u1
+        deriv = norm * (1.0 - inv_erf * tan_ti)
+        c = jnp.where(value > 0, b, c)
+        a = jnp.where(value > 0, a, b)
+        b = b - value / jnp.where(jnp.abs(deriv) < 1e-12,
+                                  jnp.where(deriv < 0, -1e-12, 1e-12), deriv)
+        return a, b, c
+
+    _, b, _ = jax.lax.fori_loop(0, 10, newton, (a, b, c))
+    sx_g = erfinv(jnp.clip(b, -1.0 + 1e-6, 1.0 - 1e-6))
+    sy_g = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                           -1.0 + 1e-6, 1.0 - 1e-6))
+
+    ni = ci > 0.9999
+    slope_x = jnp.where(ni, sx_ni, sx_g)
+    slope_y = jnp.where(ni, sy_ni, sy_g)
+
+    # 3. rotate by phi of the stretched direction
+    cphi = cos_phi(ws)
+    sphi = sin_phi(ws)
+    tmp = cphi * slope_x - sphi * slope_y
+    slope_y = sphi * slope_x + cphi * slope_y
+    slope_x = tmp
+    # 4. unstretch; 5. normal
+    wh = normalize(
+        jnp.stack([-ax * slope_x, -ay * slope_y, jnp.ones_like(slope_x)], -1)
+    )
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+# ---------------------------------------------------------------------------
+# FresnelBlend (Ashikhmin-Shirley, Reflection.h:446, Reflection.cpp:291-344)
+# ---------------------------------------------------------------------------
+
+def fresnel_blend_f(wo, wi, rd, rs, ax, ay):
+    """FresnelBlend::f: coupled diffuse + Schlick-Fresnel microfacet gloss."""
+    def pow5(v):
+        return (v * v) * (v * v) * v
+
+    aci = abs_cos_theta(wi)
+    aco = abs_cos_theta(wo)
+    diffuse = (
+        (28.0 / (23.0 * PI)) * rd * (1.0 - rs)
+        * (1.0 - pow5(1.0 - 0.5 * aci))[..., None]
+        * (1.0 - pow5(1.0 - 0.5 * aco))[..., None]
+    )
+    wh = wi + wo
+    degenerate = jnp.sum(wh * wh, -1) < 1e-16
+    wh_n = normalize(wh, eps=1e-20)
+    d = tr_d(wh_n, ax, ay)
+    dot_ih = jnp.sum(wi * wh_n, -1)
+    schlick = rs + pow5(1.0 - jnp.clip(dot_ih, 0.0, 1.0))[..., None] * (1.0 - rs)
+    denom = 4.0 * jnp.abs(dot_ih) * jnp.maximum(aci, aco)
+    specular = (d / jnp.maximum(denom, 1e-8))[..., None] * schlick
+    out = diffuse + jnp.where(degenerate[..., None], 0.0, specular)
+    same = same_hemisphere(wo, wi)
+    return jnp.where(same[..., None], out, 0.0)
+
+
+def fresnel_blend_pdf(wo, wi, ax, ay):
+    """FresnelBlend::Pdf (Reflection.cpp:338): average of cosine and wh pdfs."""
+    wh = normalize(wo + wi, eps=1e-20)
+    d = tr_d(wh, ax, ay)
+    pdf_wh = mf_pdf_visible(wo, wh, d, tr_lambda(wo, ax, ay))
+    pdf = 0.5 * (
+        abs_cos_theta(wi) / PI
+        + pdf_wh / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, -1)), 1e-8)
+    )
+    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+def fresnel_blend_sample(wo, u2, uc, rd, rs, ax, ay):
+    """FresnelBlend::Sample_f (Reflection.cpp:316): uc<.5 cosine-samples the
+    hemisphere, else samples wh and reflects; pdf/f from the full mixture.
+    Returns (wi, f, pdf, valid)."""
+    pick_diffuse = uc < 0.5
+    wi_d = bxdf.diffuse_sample_wi(wo, u2)
+    wh = tr_sample_wh(wo, u2, ax, ay)
+    wi_s = reflect(wo, wh)
+    wi = jax.lax.stop_gradient(jnp.where(pick_diffuse[..., None], wi_d, wi_s))
+    same = same_hemisphere(wo, wi)
+    f = fresnel_blend_f(wo, wi, rd, rs, ax, ay)
+    pdf = fresnel_blend_pdf(wo, wi, ax, ay)
+    valid = same & (pdf > 0)
+    return wi, f, pdf, valid
+
+
 # ---------------------------------------------------------------------------
 # Lobe assemblies
 # ---------------------------------------------------------------------------
