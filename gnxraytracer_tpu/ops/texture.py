@@ -80,6 +80,85 @@ def bilinear_lookup(atlas, offsets, sizes, tex_id, uv, level=0):
     )
 
 
+def ewa_lookup(atlas, offsets, sizes, tex_id, uv, dst0, dst1,
+               max_anisotropy=8.0, window=8):
+    """Anisotropic EWA filtering (MIPMap::Lookup(st, dst0, dst1) + EWA,
+    core/MIPMap.h:259-338).
+
+    The reference scans a data-dependent ellipse bounding box per lookup;
+    here every lane scans a fixed (window x window) texel footprint at the
+    chosen mip level (the lod rule makes the minor axis ~1 texel, and the
+    eccentricity clamp bounds the major axis to max_anisotropy texels, so a
+    fixed window loses only extreme-anisotropy tails) with the same
+    exp(-2 r^2) - exp(-2) falloff as the reference's weight LUT
+    (MIPMap.h EWA weightLut init). Two adjacent levels are blended.
+
+    uv: (N,2); dst0/dst1: (N,2) texture-space footprint axes.
+    """
+    # swap so dst0 is the major axis
+    l0 = jnp.sum(dst0 * dst0, -1)
+    l1 = jnp.sum(dst1 * dst1, -1)
+    swap = (l0 < l1)[..., None]
+    d0 = jnp.where(swap, dst1, dst0)
+    d1 = jnp.where(swap, dst0, dst1)
+    major = jnp.sqrt(jnp.maximum(jnp.sum(d0 * d0, -1), 1e-20))
+    minor = jnp.sqrt(jnp.maximum(jnp.sum(d1 * d1, -1), 1e-20))
+    # clamp eccentricity
+    scale = jnp.where(minor * max_anisotropy < major,
+                      major / (minor * max_anisotropy), 1.0)
+    d1 = d1 * scale[..., None]
+    minor = minor * scale
+
+    n_levels = sizes.shape[0]
+    lod = jnp.clip(n_levels - 1.0 + jnp.log2(jnp.maximum(minor, 1e-8)), 0.0,
+                   n_levels - 1.0)
+    l0i = jnp.floor(lod).astype(jnp.int32)
+    dl = (lod - l0i.astype(jnp.float32))[..., None]
+
+    def ewa_level(level_idx):
+        s = sizes[level_idx].astype(jnp.float32)
+        off = offsets[level_idx]
+        si = sizes[level_idx]
+        st = uv * s - 0.5
+        e0 = d0 * s
+        e1 = d1 * s
+        a = e0[..., 1] ** 2 + e1[..., 1] ** 2 + 1.0
+        b = -2.0 * (e0[..., 0] * e0[..., 1] + e1[..., 0] * e1[..., 1])
+        c = e0[..., 0] ** 2 + e1[..., 0] ** 2 + 1.0
+        inv_f = 1.0 / (a * c - 0.25 * b * b)
+        a = a * inv_f
+        b = b * inv_f
+        c = c * inv_f
+        s0 = jnp.round(st[..., 0]).astype(jnp.int32) - window // 2
+        t0 = jnp.round(st[..., 1]).astype(jnp.int32) - window // 2
+        acc = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+        wsum = jnp.zeros(uv.shape[:-1], jnp.float32)
+        for it in range(window):
+            for is_ in range(window):
+                ss_ = (s0 + is_).astype(jnp.float32) - st[..., 0]
+                tt = (t0 + it).astype(jnp.float32) - st[..., 1]
+                r2 = a * ss_ * ss_ + b * ss_ * tt + c * tt * tt
+                w = jnp.where(r2 < 1.0,
+                              jnp.exp(-2.0 * r2) - jnp.exp(-2.0), 0.0)
+                ui = jnp.mod(s0 + is_, si)
+                vi = jnp.mod(t0 + it, si)
+                acc = acc + w[..., None] * atlas[tex_id, off + vi, ui]
+                wsum = wsum + w
+        fallback = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, 0)
+        # per-lane level gather via where over static levels handled by caller
+        ok = (wsum > 1e-8)[..., None]
+        return jnp.where(ok, acc / jnp.maximum(wsum[..., None], 1e-8), fallback)
+
+    out0 = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+    out1 = jnp.zeros_like(out0)
+    for l in range(n_levels):
+        val = ewa_level(l)
+        out0 = jnp.where((l0i == l)[..., None], val, out0)
+        out1 = jnp.where((jnp.minimum(l0i + 1, n_levels - 1) == l)[..., None],
+                         val, out1)
+    return (1.0 - dl) * out0 + dl * out1
+
+
 def trilinear_lookup(atlas, offsets, sizes, tex_id, uv, width):
     """Trilinear lookup with filter width -> mip level selection
     (MIPMap::Lookup(st, width), core/MIPMap.h:226-258)."""

@@ -241,6 +241,84 @@ def jax_rsqrt(x):
     return 1.0 / jnp.sqrt(jnp.maximum(x, 1e-24))
 
 
+def triangle_dpduv(scene, hit: Hit):
+    """Parametric partials dpdu/dpdv of the hit triangle from its UV chart
+    (Triangle::Intersect, shape/Triangle.cpp:180-227 region)."""
+    g = scene.geom
+    tri_idx = jnp.where(hit.kind == PRIM_TRI, hit.prim, 0)
+    tri = g.triangles[tri_idx]
+    p0 = g.vertices[tri[:, 0]]
+    p1 = g.vertices[tri[:, 1]]
+    p2 = g.vertices[tri[:, 2]]
+    if g.uvs is not None:
+        uv0, uv1, uv2 = g.uvs[tri[:, 0]], g.uvs[tri[:, 1]], g.uvs[tri[:, 2]]
+    else:
+        uv0 = jnp.zeros((tri.shape[0], 2))
+        uv1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0]), uv0.shape)
+        uv2 = jnp.broadcast_to(jnp.asarray([1.0, 1.0]), uv0.shape)
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)[:, None]
+    dpdu = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv
+    dpdv = (-duv12[:, 0:1] * dp02 + duv02[:, 0:1] * dp12) * inv
+    # degenerate chart: orthonormal fallback (Triangle.cpp CoordinateSystem)
+    ng = normalize(cross(dp02, dp12), eps=1e-20)
+    fb_u, fb_v = coordinate_system(ng)
+    bad = (jnp.abs(det) <= 1e-12)[:, None]
+    return jnp.where(bad, fb_u, dpdu), jnp.where(bad, fb_v, dpdv)
+
+
+def compute_differentials(p, n, dpdu, dpdv, rd):
+    """SurfaceInteraction::ComputeDifferentials
+    (core/Interaction.cpp:65-114): intersect the two auxiliary rays with
+    the tangent plane, then solve the 2x2 system for (du,dv) per axis.
+
+    rd: camera.RayDifferentials. Returns (duvdx (N,2), duvdy (N,2)).
+    """
+    d_plane = dot(n, p)
+
+    def aux(o_a, d_a):
+        denom = dot(n, d_a)
+        t = -(dot(n, o_a) - d_plane) / jnp.where(jnp.abs(denom) < 1e-9,
+                                                 jnp.where(denom < 0, -1e-9, 1e-9),
+                                                 denom)
+        ok = jnp.abs(denom) >= 1e-9
+        return o_a + t[:, None] * d_a, ok
+
+    px, okx = aux(rd.rx_o, rd.rx_d)
+    py, oky = aux(rd.ry_o, rd.ry_d)
+    dpdx = px - p
+    dpdy = py - p
+
+    # choose the two coordinate dims where |n| is smallest
+    an = jnp.abs(n)
+    use_yz = (an[:, 0] > an[:, 1]) & (an[:, 0] > an[:, 2])
+    use_xz = ~use_yz & (an[:, 1] > an[:, 2])
+
+    def pick2(v):
+        a = jnp.where(use_yz, v[:, 1], v[:, 0])
+        b = jnp.where(use_yz | use_xz, v[:, 2], v[:, 1])
+        return a, b
+
+    a00, a10 = pick2(dpdu)
+    a01, a11 = pick2(dpdv)
+    det = a00 * a11 - a01 * a10
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+    def solve(b):
+        b0, b1 = pick2(b)
+        du = (a11 * b0 - a01 * b1) * inv
+        dv = (a00 * b1 - a10 * b0) * inv
+        return jnp.stack([du, dv], -1)
+
+    duvdx = jnp.where(okx[:, None], solve(dpdx), 0.0)
+    duvdy = jnp.where(oky[:, None], solve(dpdy), 0.0)
+    return duvdx, duvdy
+
+
 def to_local(it: Interaction, v):
     """World -> shading frame (BSDF::WorldToLocal, Reflection.h:116)."""
     return jnp.stack([dot(v, it.ss), dot(v, it.ts), dot(v, it.ns)], axis=-1)

@@ -198,3 +198,36 @@ def generate_rays(camera: Camera, p_film, time_u, p_lens_u):
     o_world = _xform_point(camera.camera_to_world, o)
     d_world = normalize(_xform_vector(camera.camera_to_world, d))
     return o_world, d_world, time
+
+
+class RayDifferentials(NamedTuple):
+    """Auxiliary +1-pixel rays (core/Geometry.h:856 RayDifferential)."""
+    rx_o: jnp.ndarray  # (N,3)
+    rx_d: jnp.ndarray
+    ry_o: jnp.ndarray
+    ry_d: jnp.ndarray
+
+
+def generate_ray_differentials(camera: Camera, p_film, time_u, p_lens_u):
+    """Batched GenerateRayDifferential (core/Camera.cpp: offset pFilm by one
+    pixel in x and y; camera/Perspective.cpp:62-106 semantics — the same
+    lens sample is reused for the auxiliary rays).
+
+    Returns (o, d, time, RayDifferentials)."""
+    o, d, time = generate_rays(camera, p_film, time_u, p_lens_u)
+    dx = jnp.asarray([1.0, 0.0], p_film.dtype)
+    dy = jnp.asarray([0.0, 1.0], p_film.dtype)
+    rx_o, rx_d, _ = generate_rays(camera, p_film + dx, time_u, p_lens_u)
+    ry_o, ry_d, _ = generate_rays(camera, p_film + dy, time_u, p_lens_u)
+    return o, d, time, RayDifferentials(rx_o, rx_d, ry_o, ry_d)
+
+
+def scale_differentials(o, d, rd: RayDifferentials, s):
+    """RayDifferential::ScaleDifferentials (core/Geometry.h:885): shrink the
+    one-pixel offsets by s = 1/sqrt(spp) (core/Integrator.cpp render loop)."""
+    return RayDifferentials(
+        rx_o=o + (rd.rx_o - o) * s,
+        rx_d=d + (rd.rx_d - d) * s,
+        ry_o=o + (rd.ry_o - o) * s,
+        ry_d=d + (rd.ry_d - d) * s,
+    )
