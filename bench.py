@@ -43,8 +43,12 @@ def main():
     spp_chunk = 4  # 1M lanes/chunk: measured throughput optimum (PERF.md)
 
     scene, camera = presets.cornell_box(width=width, height=height)
+    # fast_mis: the folded-MIS estimator (2 scene casts/bounce, same
+    # expectation as the reference's 3-cast EstimateDirect; see
+    # models/integrators/path.trace_paths_fast + tests)
     cfg = path.make_config(scene, width, height, spp=spp, max_depth=max_depth,
-                           spp_chunk=spp_chunk, rr_threshold=1.0)
+                           spp_chunk=spp_chunk, rr_threshold=1.0,
+                           fast_mis=True)
     # Owen-scrambled Sobol: same-or-better equidistribution than Halton and
     # ~40x cheaper to evaluate on TPU (PERF.md)
     sampler = samplers.make_sobol_sampler(spp)

@@ -22,6 +22,7 @@ from ..utils.math import (
     tan2_theta,
 )
 from . import bxdf
+from .materials import _g
 from .microfacet import (
     mf_g, mf_g1, mf_pdf_visible, microfacet_transmission_f,
     microfacet_transmission_pdf, tr_d, tr_lambda, tr_sample_wh,
@@ -38,7 +39,7 @@ def _lum(c):
 
 
 def _params(mats, mid):
-    g = lambda col: jnp.take(col, mid, axis=0)
+    g = lambda col: _g(col, mid)
     return dict(
         c=g(mats.kd), metallic=g(mats.metallic), eta=g(mats.eta),
         strans=g(mats.spec_trans), rough=g(mats.rough_u),
@@ -255,7 +256,7 @@ def _pdf_impl(p, drv, wo, wi):
 
 
 def evaluate(mats, mid, cfg, wo, wi, kd_override=None):
-    kind = jnp.take(mats.kind, mid, axis=0)
+    kind = _g(mats.kind, mid)
     from ..scene.scene import MAT_DISNEY
 
     m = kind == MAT_DISNEY
@@ -272,7 +273,7 @@ def sample(mats, mid, cfg, wo, u2, uc, kd_override=None):
     from ..scene.scene import MAT_DISNEY
     from .materials import BsdfSample
 
-    kind = jnp.take(mats.kind, mid, axis=0)
+    kind = _g(mats.kind, mid)
     m = kind == MAT_DISNEY
     p = _params(mats, mid)
     if kd_override is not None:

@@ -151,18 +151,25 @@ def _choose_light(scene, cfg, u, p=None):
 
 
 def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
-                    kd_override=None):
+                    kd_override=None, mats_row=None):
     """EstimateDirect (core/Integrator.cpp:93-210) for all lanes at once.
 
+    mats_row: optional pre-gathered per-lane MaterialTable (one one-hot
+    matmul per bounce instead of per-column gathers — PERF.md).
     Returns (N,3) direct radiance (before division by light-select pdf).
     """
     n = it.p.shape[0]
+    if mats_row is None:
+        mats_row = scene.materials
+        mat_idx = it.mat
+    else:
+        mat_idx = None
     ld = jnp.zeros((n, 3), jnp.float32)
 
     # ---- strategy 1: sample the light ------------------------------------
     ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
     wi_local = trace.to_local(it, ls.wi)
-    f_light, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local,
+    f_light, scat_pdf = mat_mod.evaluate(mats_row, mat_idx, cfg, wo_local,
                                          wi_local, kd_override)
     f_light = f_light * absdot(ls.wi, it.ns)[..., None]
     contrib_possible = (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1) & jnp.any(f_light > 0, axis=-1)
@@ -177,7 +184,7 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
     ld = ld + jnp.where(vis[..., None], ld_light, 0.0)
 
     # ---- strategy 2: sample the BSDF (non-delta lights only) --------------
-    smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_scatter,
+    smp = mat_mod.sample(mats_row, mat_idx, cfg, wo_local, u_scatter,
                          u_scatter[..., 0], kd_override)
     wi_world = trace.to_world(it, smp.wi)
     f_b = smp.f * absdot(wi_world, it.ns)[..., None]
@@ -199,13 +206,11 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
     li_b = jnp.zeros((n, 3), jnp.float32)
     if cfg.has_area:
         hit_it_light = bhit.hit & (bhit.kind == trace.PRIM_TRI)
-        tri_light = jnp.where(hit_it_light, scene.geom.tri_light[jnp.where(hit_it_light, bhit.prim, 0)], -1)
+        p0, p1, p2, tri_light = trace.tri_emission_attrs(
+            scene, cfg, jnp.where(hit_it_light, bhit.prim, 0))
+        tri_light = jnp.where(hit_it_light, tri_light, -1)
         same_light = hit_it_light & (tri_light == light_idx)
         # emitted radiance toward -wi
-        tri = scene.geom.triangles[jnp.where(same_light, bhit.prim, 0)]
-        p0 = scene.geom.vertices[tri[:, 0]]
-        p1 = scene.geom.vertices[tri[:, 1]]
-        p2 = scene.geom.vertices[tri[:, 2]]
         nl = normalize(jnp.cross(p1 - p0, p2 - p0))
         le = lights_mod.area_light_emitted(scene, light_idx, nl, -bd,
                                            cfg.reference_area_bug)
@@ -288,7 +293,8 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = mat_mod.resolve_kd(scene, cfg, it.mat, it.uv) if cfg.has_textures else None
+        kd_ov = (mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
+                 if cfg.has_textures else None)
         ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
                              kd_ov)
         nee_ok = alive & has_ns
@@ -399,11 +405,8 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             le = lights_mod.area_light_emitted(scene, lidx, it.ng, -state["d"],
                                                cfg.reference_area_bug)
             # pdf of having sampled this emission point via NEE from prev_p
-            tri_id = scene.lights.tri[lidx]
-            tri = scene.geom.triangles[tri_id]
-            p0v = scene.geom.vertices[tri[:, 0]]
-            p1v = scene.geom.vertices[tri[:, 1]]
-            p2v = scene.geom.vertices[tri[:, 2]]
+            lrow = lights_mod.light_rows(scene, lidx)
+            p0v, p1v, p2v = lrow.p0, lrow.p1, lrow.p2
             cr = jnp.cross(p1v - p0v, p2v - p0v)
             area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(cr * cr, -1), 1e-20))
             nl_ = cr / jnp.maximum(2.0 * area, 1e-12)[..., None]
@@ -451,7 +454,8 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         light_idx, light_pdf_sel = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = mat_mod.resolve_kd(scene, cfg, it.mat, it.uv) if cfg.has_textures else None
+        kd_ov = (mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
+                 if cfg.has_textures else None)
         ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
         wi_local = trace.to_local(it, ls.wi)
         f_l, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local,

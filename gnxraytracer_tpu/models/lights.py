@@ -39,13 +39,67 @@ def _gather(table, idx):
     return jnp.take(table, idx, axis=0)
 
 
-def area_light_emitted(scene: Scene, light_idx, n_light, w, reference_bug=True):
+class LightRow(NamedTuple):
+    """All per-light attributes for each lane, fetched with ONE one-hot
+    matmul over the (tiny) light table instead of per-column gathers
+    (PERF.md: per-lane gathers dominate shading cost)."""
+    kind: jnp.ndarray
+    pos: jnp.ndarray
+    emit: jnp.ndarray
+    axis: jnp.ndarray
+    two_sided: jnp.ndarray
+    cos_falloff: jnp.ndarray
+    cos_total: jnp.ndarray
+    p0: jnp.ndarray  # area-light triangle vertices (zeros for non-area)
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+
+def light_rows(scene: Scene, light_idx) -> LightRow:
+    L = scene.lights
+    nl = L.kind.shape[0]
+    g = scene.geom
+    tri_safe = jnp.maximum(L.tri, 0)
+    has_tri = (L.tri >= 0)[:, None].astype(jnp.float32)
+    if g.triangles.shape[0] > 0:
+        tv = g.triangles[tri_safe]
+        p0 = g.vertices[tv[:, 0]] * has_tri
+        p1 = g.vertices[tv[:, 1]] * has_tri
+        p2 = g.vertices[tv[:, 2]] * has_tri
+    else:
+        p0 = p1 = p2 = jnp.zeros((nl, 3))
+    if nl > 128:
+        gi = lambda c: jnp.take(c, light_idx, axis=0)
+        return LightRow(gi(L.kind), gi(L.pos), gi(L.emit), gi(L.axis),
+                        gi(L.two_sided), gi(L.cos_falloff), gi(L.cos_total),
+                        gi(p0), gi(p1), gi(p2))
+    packed = jnp.concatenate(
+        [L.kind.astype(jnp.float32)[:, None], L.pos, L.emit, L.axis,
+         L.two_sided[:, None], L.cos_falloff[:, None], L.cos_total[:, None],
+         p0, p1, p2], axis=1,
+    )
+    oh = (light_idx[:, None] == jnp.arange(nl)[None, :]).astype(jnp.float32)
+    r = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+    return LightRow(
+        kind=jnp.round(r[:, 0]).astype(jnp.int32),
+        pos=r[:, 1:4], emit=r[:, 4:7], axis=r[:, 7:10],
+        two_sided=r[:, 10], cos_falloff=r[:, 11], cos_total=r[:, 12],
+        p0=r[:, 13:16], p1=r[:, 16:19], p2=r[:, 19:22],
+    )
+
+
+def area_light_emitted(scene: Scene, light_idx, n_light, w,
+                       reference_bug=True, row: LightRow = None):
     """DiffuseAreaLight::L — radiance leaving the light surface toward w.
 
     light_idx: (N,) int32 (valid rows); n_light: (N,3) light-surface normal.
     """
-    lemit = _gather(scene.lights.emit, light_idx)
-    two_sided = _gather(scene.lights.two_sided, light_idx) > 0.5
+    if row is not None:
+        lemit = row.emit
+        two_sided = row.two_sided > 0.5
+    else:
+        lemit = _gather(scene.lights.emit, light_idx)
+        two_sided = _gather(scene.lights.two_sided, light_idx) > 0.5
     d = dot(n_light, w)
     if reference_bug:
         emits = two_sided | (d != 0.0)
@@ -115,10 +169,11 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
     light_idx: (N,) int32; p: (N,3) shading point; u2: (N,2).
     """
     L = scene.lights
-    kind = _gather(L.kind, light_idx)
-    pos = _gather(L.pos, light_idx)
-    emit = _gather(L.emit, light_idx)
-    axis = _gather(L.axis, light_idx)
+    row = light_rows(scene, light_idx)
+    kind = row.kind
+    pos = row.pos
+    emit = row.emit
+    axis = row.axis
 
     n = p.shape[0]
     wi = jnp.zeros_like(p)
@@ -144,8 +199,8 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
         # SpotLight (lights/SpotLight.cpp:20-44): cone falloff on I/r^2
         m = kind == LIGHT_SPOT
         if cfg.has_spot:
-            cos_f = _gather(L.cos_falloff, light_idx)
-            cos_t = _gather(L.cos_total, light_idx)
+            cos_f = row.cos_falloff
+            cos_t = row.cos_total
             ct = dot(axis, -w)
             delta = jnp.clip((ct - cos_t) / jnp.maximum(cos_f - cos_t, 1e-8), 0.0, 1.0)
             # smoothstep^2 * ^2 = delta^2 * delta^2 per reference Falloff
@@ -172,7 +227,7 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
         # DiffuseAreaLight via uniform triangle sampling; area pdf ->
         # solid-angle pdf (core/Shape.cpp:21-36)
         m = kind == LIGHT_AREA
-        p0, p1, p2 = _area_tri(scene, light_idx)
+        p0, p1, p2 = row.p0, row.p1, row.p2
         b = uniform_sample_triangle(u2)
         ps = b[..., 0:1] * p0 + b[..., 1:2] * p1 + (1.0 - b[..., 0:1] - b[..., 1:2]) * p2
         nl, area = _tri_normal_area(p0, p1, p2)
@@ -184,7 +239,8 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
         pdf_sa = jnp.where(
             (cos_l > 1e-8) & (d2 > 0), d2 / jnp.maximum(cos_l * area, 1e-12), 0.0
         )
-        l_val = area_light_emitted(scene, light_idx, nl, -w, cfg.reference_area_bug)
+        l_val = area_light_emitted(scene, light_idx, nl, -w,
+                                   cfg.reference_area_bug, row)
         wi = jnp.where(m[..., None], w, wi)
         pdf = jnp.where(m, pdf_sa, pdf)
         li = jnp.where(m[..., None], l_val, li)
@@ -237,13 +293,14 @@ def pdf_li(scene: Scene, cfg, light_idx, p, wi):
     """Light::Pdf_Li for the chosen light (MIS BSDF-side weight,
     core/Integrator.cpp:186-189).  Delta lights return 0."""
     L = scene.lights
-    kind = _gather(L.kind, light_idx)
+    row = light_rows(scene, light_idx)
+    kind = row.kind
     pdf = jnp.zeros(p.shape[0], jnp.float32)
 
     if cfg.has_area:
         # re-intersect the specific light triangle (core/Shape.cpp:38-54)
         m = kind == LIGHT_AREA
-        p0, p1, p2 = _area_tri(scene, light_idx)
+        p0, p1, p2 = row.p0, row.p1, row.p2
         valid, t = _single_tri_hit(p, wi, p0, p1, p2)
         nl, area = _tri_normal_area(p0, p1, p2)
         dist2 = t * t  # wi unit

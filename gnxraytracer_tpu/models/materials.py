@@ -38,13 +38,58 @@ class BsdfSample(NamedTuple):
 
 
 def _g(col, mid):
+    """Gather a material column per lane. mid=None means the table was
+    pre-gathered to per-lane rows by gather_material_table."""
+    if mid is None:
+        return col
     return jnp.take(col, mid, axis=0)
+
+
+# material tables are tiny (<= a few dozen rows); fetch ALL columns with one
+# one-hot matmul on the MXU instead of ~10 per-lane gathers (PERF.md)
+_F3_COLS = ("kd", "kr", "kt", "ks", "eta3", "k3")
+_F1_COLS = ("sigma", "eta", "rough_u", "rough_v", "remap_rough", "bump_scale",
+            "metallic", "spec_trans", "specular_tint", "anisotropic", "sheen",
+            "sheen_tint", "clearcoat", "clearcoat_gloss", "flatness",
+            "diff_trans", "thin")
+_I1_COLS = ("kind", "kd_tex", "bump_tex")
+
+
+def gather_material_table(mats: MaterialTable, mid) -> MaterialTable:
+    """Per-lane material rows via a single (N, M) one-hot x (M, K) matmul.
+
+    Returns a MaterialTable whose columns are (N,)/(N,3) — downstream code
+    then indexes with mid=None. Falls back to plain takes for big tables.
+    """
+    m_rows = mats.kind.shape[0]
+    if m_rows > 128:
+        return MaterialTable(*(jnp.take(c, mid, axis=0) for c in mats))
+    packed = jnp.concatenate(
+        [getattr(mats, c).astype(jnp.float32) for c in _F3_COLS]
+        + [getattr(mats, c).astype(jnp.float32)[:, None] for c in _F1_COLS]
+        + [getattr(mats, c).astype(jnp.float32)[:, None] for c in _I1_COLS],
+        axis=1,
+    )
+    oh = (mid[:, None] == jnp.arange(m_rows)[None, :]).astype(jnp.float32)
+    rows = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+    out = {}
+    off = 0
+    for c in _F3_COLS:
+        out[c] = rows[:, off:off + 3]
+        off += 3
+    for c in _F1_COLS:
+        out[c] = rows[:, off]
+        off += 1
+    for c in _I1_COLS:
+        out[c] = jnp.round(rows[:, off]).astype(jnp.int32)
+        off += 1
+    return MaterialTable(**out)
 
 
 def has_nonspecular(mats: MaterialTable, mid, cfg):
     """NumComponents(~SPECULAR) > 0 per kind (PathIntegrator.cpp:138)."""
     kind = _g(mats.kind, mid)
-    ns = jnp.ones(mid.shape, bool)
+    ns = jnp.ones(kind.shape, bool)
     if 1 in cfg.mat_kinds:  # mirror: specular only
         ns = ns & (kind != MAT_MIRROR)
     if 2 in cfg.mat_kinds:  # smooth glass: specular only (rough later)
@@ -53,10 +98,13 @@ def has_nonspecular(mats: MaterialTable, mid, cfg):
     return ns
 
 
-def resolve_kd(scene, cfg, mid, uv):
+def resolve_kd(scene, cfg, mid, uv, mats=None):
     """Per-hit diffuse/base color: texture lookup where kd_tex >= 0
-    (Texture<T>::Evaluate, core/Texture.h:105-112), else the table color."""
-    mats = scene.materials
+    (Texture<T>::Evaluate, core/Texture.h:105-112), else the table color.
+
+    mats: optionally a pre-gathered per-lane table (then mid=None)."""
+    if mats is None:
+        mats = scene.materials
     kd = _g(mats.kd, mid)
     if not getattr(cfg, "has_textures", False) or scene.textures is None:
         return kd
@@ -72,7 +120,7 @@ def evaluate(mats: MaterialTable, mid, cfg, wo, wi, kd_override=None):
     """f and pdf over non-specular lobes (BSDF::f / BSDF::Pdf,
     Reflection.cpp:440,548)."""
     kind = _g(mats.kind, mid)
-    n = mid.shape[0]
+    n = kind.shape[0]
     f = jnp.zeros((n, 3), jnp.float32)
     pdf = jnp.zeros((n,), jnp.float32)
 
@@ -103,7 +151,7 @@ def sample(mats: MaterialTable, mid, cfg, wo, u2, uc, kd_override=None):
     u2: (N,2) direction sample; uc: (N,) lobe-choice sample.
     """
     kind = _g(mats.kind, mid)
-    n = mid.shape[0]
+    n = kind.shape[0]
     wi = jnp.zeros((n, 3), jnp.float32)
     weight = jnp.zeros((n, 3), jnp.float32)
     pdf = jnp.zeros((n,), jnp.float32)

@@ -22,6 +22,7 @@ from ..utils.math import (
     same_hemisphere, sin2_phi, sin_phi, tan2_theta, tan_theta,
 )
 from . import bxdf
+from .materials import _g
 
 TROWBRIDGE = 0
 BECKMANN = 1
@@ -258,9 +259,9 @@ def fresnel_blend_sample(wo, u2, uc, rd, rs, ax, ay):
 # ---------------------------------------------------------------------------
 
 def _alphas(mats, mid):
-    ru = jnp.take(mats.rough_u, mid, axis=0)
-    rv = jnp.take(mats.rough_v, mid, axis=0)
-    remap = jnp.take(mats.remap_rough, mid, axis=0) > 0.5
+    ru = _g(mats.rough_u, mid)
+    rv = _g(mats.rough_v, mid)
+    remap = _g(mats.remap_rough, mid) > 0.5
     ax = jnp.where(remap, roughness_to_alpha(ru), jnp.maximum(ru, 1e-3))
     ay = jnp.where(remap, roughness_to_alpha(rv), jnp.maximum(rv, 1e-3))
     return ax, ay
@@ -338,8 +339,8 @@ def microfacet_transmission_pdf(wo, wi, ax, ay, eta_a, eta_b):
 
 def evaluate_glossy(mats, mid, cfg, wo, wi, kd_override=None):
     """(f, pdf, handled_mask) for METAL / PLASTIC / rough GLASS / DISNEY."""
-    kind = jnp.take(mats.kind, mid, axis=0)
-    n = mid.shape[0]
+    kind = _g(mats.kind, mid)
+    n = kind.shape[0]
     f = jnp.zeros((n, 3), jnp.float32)
     pdf = jnp.zeros((n,), jnp.float32)
     handled = jnp.zeros((n,), bool)
@@ -347,8 +348,8 @@ def evaluate_glossy(mats, mid, cfg, wo, wi, kd_override=None):
 
     if MAT_METAL in cfg.mat_kinds:
         m = kind == MAT_METAL
-        eta3 = jnp.take(mats.eta3, mid, axis=0)
-        k3 = jnp.take(mats.k3, mid, axis=0)
+        eta3 = _g(mats.eta3, mid)
+        k3 = _g(mats.k3, mid)
         fres = lambda c: bxdf.fr_conductor(c, jnp.ones_like(eta3), eta3, k3)
         f_m = microfacet_reflection_f(wo, wi, ax, ay, fres, jnp.ones((n, 3)))
         p_m = microfacet_reflection_pdf(wo, wi, ax, ay)
@@ -360,8 +361,8 @@ def evaluate_glossy(mats, mid, cfg, wo, wi, kd_override=None):
         # PlasticMaterial (PlasticMaterial.cpp:15): Lambertian kd + GGX ks
         # with dielectric Fresnel 1.5; BSDF::f sums lobes, pdf averages.
         m = kind == MAT_PLASTIC
-        kd = kd_override if kd_override is not None else jnp.take(mats.kd, mid, axis=0)
-        ks = jnp.take(mats.ks, mid, axis=0)
+        kd = kd_override if kd_override is not None else _g(mats.kd, mid)
+        ks = _g(mats.ks, mid)
         fres = lambda c: bxdf.fr_dielectric(c, 1.5, 1.0)[..., None]
         f_spec = microfacet_reflection_f(wo, wi, ax, ay, fres, ks)
         f_diff = bxdf.lambert_f(wo, wi, kd)
@@ -373,13 +374,13 @@ def evaluate_glossy(mats, mid, cfg, wo, wi, kd_override=None):
 
     if MAT_GLASS in cfg.mat_kinds:
         # rough glass only (smooth handled as specular in materials.py)
-        rough = (jnp.take(mats.rough_u, mid, axis=0) > 0) | (
-            jnp.take(mats.rough_v, mid, axis=0) > 0
+        rough = (_g(mats.rough_u, mid) > 0) | (
+            _g(mats.rough_v, mid) > 0
         )
         m = (kind == MAT_GLASS) & rough
-        kr = jnp.take(mats.kr, mid, axis=0)
-        kt = jnp.take(mats.kt, mid, axis=0)
-        eta_b = jnp.take(mats.eta, mid, axis=0)
+        kr = _g(mats.kr, mid)
+        kt = _g(mats.kt, mid)
+        eta_b = _g(mats.eta, mid)
         fres = lambda c: bxdf.fr_dielectric(c, 1.0, eta_b)[..., None]
         f_r = microfacet_reflection_f(wo, wi, ax, ay, fres, kr)
         f_t = microfacet_transmission_f(wo, wi, ax, ay, jnp.ones_like(eta_b), eta_b, kt)
@@ -407,8 +408,8 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override=None):
     """BsdfSample for glossy kinds; returns (sample, handled_mask)."""
     from .materials import BsdfSample
 
-    kind = jnp.take(mats.kind, mid, axis=0)
-    n = mid.shape[0]
+    kind = _g(mats.kind, mid)
+    n = kind.shape[0]
     ax, ay = _alphas(mats, mid)
     wi = jnp.zeros((n, 3), jnp.float32)
     weight = jnp.zeros((n, 3), jnp.float32)
@@ -439,8 +440,8 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override=None):
         m = kind == MAT_METAL
         wh = tr_sample_wh(wo, u2, ax, ay)
         wi_m = jax.lax.stop_gradient(reflect(wo, wh))
-        eta3 = jnp.take(mats.eta3, mid, axis=0)
-        k3 = jnp.take(mats.k3, mid, axis=0)
+        eta3 = _g(mats.eta3, mid)
+        k3 = _g(mats.k3, mid)
         fres = lambda c: bxdf.fr_conductor(c, jnp.ones_like(eta3), eta3, k3)
         f_m = microfacet_reflection_f(wo, wi_m, ax, ay, fres, jnp.ones((n, 3)))
         p_m = microfacet_reflection_pdf(wo, wi_m, ax, ay)
@@ -448,8 +449,8 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override=None):
 
     if MAT_PLASTIC in cfg.mat_kinds:
         m = kind == MAT_PLASTIC
-        kd = kd_override if kd_override is not None else jnp.take(mats.kd, mid, axis=0)
-        ks = jnp.take(mats.ks, mid, axis=0)
+        kd = kd_override if kd_override is not None else _g(mats.kd, mid)
+        ks = _g(mats.ks, mid)
         pick_spec = uc < 0.5
         # remap uc-half to full for wh sample (lobe select remap,
         # Reflection.cpp:482-490)
@@ -467,13 +468,13 @@ def sample_glossy(mats, mid, cfg, wo, u2, uc, kd_override=None):
         finish(m, wi_m, f_m, p_m)
 
     if MAT_GLASS in cfg.mat_kinds:
-        rough = (jnp.take(mats.rough_u, mid, axis=0) > 0) | (
-            jnp.take(mats.rough_v, mid, axis=0) > 0
+        rough = (_g(mats.rough_u, mid) > 0) | (
+            _g(mats.rough_v, mid) > 0
         )
         m = (kind == MAT_GLASS) & rough
-        kr = jnp.take(mats.kr, mid, axis=0)
-        kt = jnp.take(mats.kt, mid, axis=0)
-        eta_b = jnp.take(mats.eta, mid, axis=0)
+        kr = _g(mats.kr, mid)
+        kt = _g(mats.kt, mid)
+        eta_b = _g(mats.eta, mid)
         wh = tr_sample_wh(wo, u2, ax, ay)
         wi_r = reflect(wo, wh)
         eta_ratio = jnp.where(cos_theta(wo) > 0, 1.0 / eta_b, eta_b)

@@ -114,11 +114,64 @@ def scene_occluded(scene, cfg, o, d, t_max):
     return occ
 
 
+# Max triangle count for the one-hot-matmul attribute path: a (N, T)
+# one-hot times (T, 26) table on the MXU replaces ~10 per-lane gathers —
+# measured 4x faster at T=14/N=1M on v5e (PERF.md: per-lane gathers and
+# (N,3) layouts are the enemy).
+ONEHOT_MAX_TRIS = 256
+
+
+def _tri_attr_table(g):
+    """Packed (T, 26) per-triangle attribute table:
+    p0|p1|p2 (9), uv0|uv1|uv2 (6), n0|n1|n2 (9), mat (1), light (1).
+    Loop-invariant inside jit — XLA hoists the build out of the bounce loop."""
+    t = g.triangles
+    cols = [g.vertices[t[:, 0]], g.vertices[t[:, 1]], g.vertices[t[:, 2]]]
+    if g.uvs is not None:
+        cols += [g.uvs[t[:, 0]], g.uvs[t[:, 1]], g.uvs[t[:, 2]]]
+    else:
+        nt = t.shape[0]
+        cols += [jnp.zeros((nt, 2)),
+                 jnp.broadcast_to(jnp.asarray([1.0, 0.0]), (nt, 2)),
+                 jnp.broadcast_to(jnp.asarray([1.0, 1.0]), (nt, 2))]
+    if g.normals is not None:
+        cols += [g.normals[t[:, 0]], g.normals[t[:, 1]], g.normals[t[:, 2]]]
+    else:
+        cols += [jnp.zeros((t.shape[0], 3))] * 3
+    cols += [g.tri_mat[:, None].astype(jnp.float32),
+             g.tri_light[:, None].astype(jnp.float32)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def onehot_gather(table, idx, n_rows):
+    """Gather rows of a small (T, K) table by (N,) indices as a one-hot
+    matmul on the MXU instead of a per-lane gather."""
+    oh = (idx[:, None] == jnp.arange(n_rows)[None, :]).astype(jnp.float32)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+
+def tri_emission_attrs(scene, cfg, prim_idx):
+    """(p0, p1, p2, light_id) of a triangle hit — the data the integrators
+    need to evaluate emitted radiance at a BSDF-sampled hit. One-hot matmul
+    for small scenes, gathers otherwise."""
+    g = scene.geom
+    if 0 < cfg.n_tris <= ONEHOT_MAX_TRIS:
+        attrs = onehot_gather(_tri_attr_table(g), prim_idx, cfg.n_tris)
+        return (attrs[:, 0:3], attrs[:, 3:6], attrs[:, 6:9],
+                jnp.round(attrs[:, 25]).astype(jnp.int32))
+    tri = g.triangles[prim_idx]
+    return (g.vertices[tri[:, 0]], g.vertices[tri[:, 1]],
+            g.vertices[tri[:, 2]], g.tri_light[prim_idx])
+
+
 def make_interaction(scene, cfg, o, d, hit: Hit) -> Interaction:
     """Build the surface interaction for each (possibly invalid) lane."""
     g = scene.geom
     is_tri = hit.kind == PRIM_TRI
     tri_idx = jnp.where(is_tri, hit.prim, 0)
+    if 0 < cfg.n_tris <= ONEHOT_MAX_TRIS:
+        attrs = onehot_gather(_tri_attr_table(g), tri_idx, cfg.n_tris)
+        return _interaction_from_attrs(scene, cfg, o, d, hit, attrs)
     tri = g.triangles[tri_idx]
     p0 = g.vertices[tri[:, 0]]
     p1 = g.vertices[tri[:, 1]]
@@ -161,7 +214,61 @@ def make_interaction(scene, cfg, o, d, hit: Hit) -> Interaction:
         ns_tri = ng_tri
     mat_tri = g.tri_mat[tri_idx]
     light_tri = g.tri_light[tri_idx]
+    return _finish_interaction(scene, cfg, o, d, hit, p_tri, p_err_tri,
+                               ng_tri, ns_tri, dpdu_tri, uv_tri, mat_tri,
+                               light_tri)
 
+
+def _interaction_from_attrs(scene, cfg, o, d, hit: Hit, attrs):
+    """Triangle interaction from the packed one-hot-matmul attribute row
+    (same math as the gather path, operating on (N, 26) columns)."""
+    g = scene.geom
+    b = hit.b
+    p0 = attrs[:, 0:3]
+    p1 = attrs[:, 3:6]
+    p2 = attrs[:, 6:9]
+    p_tri = b[:, 0:1] * p0 + b[:, 1:2] * p1 + b[:, 2:3] * p2
+    p_err_tri = gamma(7) * (
+        jnp.abs(b[:, 0:1] * p0) + jnp.abs(b[:, 1:2] * p1) + jnp.abs(b[:, 2:3] * p2)
+    )
+    ng_tri = normalize(cross(p0 - p2, p1 - p2))
+    dpdu_tri = p1 - p0
+    uv0 = attrs[:, 9:11]
+    uv1 = attrs[:, 11:13]
+    uv2 = attrs[:, 13:15]
+    if g.uvs is not None:
+        duv02 = uv0 - uv2
+        duv12 = uv1 - uv2
+        det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        dp02 = p0 - p2
+        dp12 = p1 - p2
+        dpdu_uv = (duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12) * inv[:, None]
+        dpdu_tri = jnp.where((jnp.abs(det) > 1e-12)[:, None], dpdu_uv, dpdu_tri)
+    uv_tri = b[:, 0:1] * uv0 + b[:, 1:2] * uv1 + b[:, 2:3] * uv2
+    if g.normals is not None:
+        n0 = attrs[:, 15:18]
+        n1 = attrs[:, 18:21]
+        n2 = attrs[:, 21:24]
+        ns_tri = normalize(b[:, 0:1] * n0 + b[:, 1:2] * n1 + b[:, 2:3] * n2,
+                           eps=1e-20)
+        degen = jnp.sum(ns_tri * ns_tri, axis=-1) < 0.5
+        ns_tri = jnp.where(degen[:, None], ng_tri, ns_tri)
+        ng_tri = face_forward(ng_tri, ns_tri)
+    else:
+        ns_tri = ng_tri
+    # ids round-trip exactly through the f32 matmul (one-hot is exact 0/1,
+    # small ints are exact in bf16/f32); round defensively anyway
+    mat_tri = jnp.round(attrs[:, 24]).astype(jnp.int32)
+    light_tri = jnp.round(attrs[:, 25]).astype(jnp.int32)
+    return _finish_interaction(scene, cfg, o, d, hit, p_tri, p_err_tri,
+                               ng_tri, ns_tri, dpdu_tri, uv_tri, mat_tri,
+                               light_tri)
+
+
+def _finish_interaction(scene, cfg, o, d, hit, p_tri, p_err_tri, ng_tri,
+                        ns_tri, dpdu_tri, uv_tri, mat_tri, light_tri):
+    g = scene.geom
     if cfg.n_sphs > 0:
         is_sph = hit.kind == PRIM_SPH
         sph_idx = jnp.where(is_sph, hit.prim, 0)
