@@ -73,11 +73,21 @@ def cmd_render(args):
     cfg = path_mod.make_config(
         scene, args.width, args.height, spp=args.spp, max_depth=args.max_depth,
         spp_chunk=args.spp_chunk, rr_threshold=args.rr_threshold,
+        fast_mis=args.fast_mis,
     )
     if args.sampler == "halton":
         sampler = samplers.make_halton_sampler(args.spp, args.width, args.height)
+    elif args.sampler == "sobol":
+        sampler = samplers.make_sobol_sampler(args.spp)
     else:
         sampler = samplers.make_random_sampler(args.spp, seed=args.seed)
+
+    live_png = None
+    if args.live:
+        from .utils.viewer import LivePngWriter
+
+        live_png = LivePngWriter(args.live, tonemap=args.tonemap)
+    term_lines = 0
 
     hw = args.width * args.height
     acc = jnp.zeros((hw, 3), jnp.float32)
@@ -109,6 +119,17 @@ def cmd_render(args):
             "Mpaths_per_s": round(ns * hw / dt / 1e6, 3),
         }
         print(json.dumps(stats), flush=True)
+        if live_png is not None or args.view:
+            cur = np.asarray(acc).reshape(args.height, args.width, 3) / max(s, 1)
+            if live_png is not None:
+                live_png.update(cur)
+            if args.view:
+                from .utils.viewer import term_preview, term_redraw_prefix
+
+                sys.stdout.write(term_redraw_prefix(term_lines + 1))
+                term_lines = term_preview(cur, max_cols=args.view_cols,
+                                          tonemap=args.tonemap)
+                print(json.dumps(stats), flush=True)
         if args.checkpoint and (s % max(args.spp_chunk * 4, 1) == 0 or s >= args.spp):
             np.savez(args.checkpoint, acc=np.asarray(acc), spp=s)
 
@@ -142,7 +163,15 @@ def main(argv=None):
     r.add_argument("--rr-threshold", type=float, default=1.0)
     r.add_argument("--integrator", default="path",
                    choices=["path", "whitted", "direct", "volpath"])
-    r.add_argument("--sampler", default="halton", choices=["halton", "random"])
+    r.add_argument("--sampler", default="halton",
+                   choices=["halton", "sobol", "random"])
+    r.add_argument("--fast-mis", action="store_true",
+                   help="folded-MIS estimator (2 scene casts/bounce)")
+    r.add_argument("--live", default=None, metavar="PNG",
+                   help="rewrite this PNG after every chunk (live viewer)")
+    r.add_argument("--view", action="store_true",
+                   help="draw a live ANSI preview in the terminal")
+    r.add_argument("--view-cols", type=int, default=80)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--out", default=None)
     r.add_argument("--out-npy", default=None)
