@@ -52,6 +52,7 @@ class RenderCfg(NamedTuple):
     n_sphs: int = 0
     n_lights: int = 0
     use_bvh: bool = False
+    bvh_stackless: bool = True  # threaded miss-link walk (cursor-only state)
     reference_area_bug: bool = True
     spp_chunk: int = 4
     light_strategy: str = "uniform"  # uniform | power
@@ -539,6 +540,30 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
 _render_chunk_jit = jax.jit(
     render_chunk, static_argnames=("cfg", "n_samples"),
 )
+
+
+def render_fused(scene, camera, sampler, cfg: RenderCfg, n_chunks=None):
+    """Whole-frame render in ONE device dispatch: lax.fori_loop over spp
+    chunks on-device instead of a host dispatch per chunk.  Removes the
+    per-chunk host round trip (significant when the host link is a remote
+    tunnel) and lets XLA overlap chunk epilogues.  cfg.spp must be a
+    multiple of cfg.spp_chunk (render() handles ragged spp)."""
+    if n_chunks is None:
+        assert cfg.spp % cfg.spp_chunk == 0, "spp % spp_chunk != 0"
+        n_chunks = cfg.spp // cfg.spp_chunk
+    hw = cfg.width * cfg.height
+
+    def body(ci, acc):
+        return acc + render_chunk(scene, camera, sampler, cfg,
+                                  ci * cfg.spp_chunk, cfg.spp_chunk)
+
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((hw, 3), jnp.float32))
+    img = acc / (n_chunks * cfg.spp_chunk)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+_render_fused_jit = jax.jit(render_fused, static_argnames=("cfg", "n_chunks"))
 
 
 def render(scene, camera, sampler, cfg: RenderCfg):

@@ -39,11 +39,55 @@ class BVH(NamedTuple):
     n_prims: jnp.ndarray    # (NN,) int32 (0 = interior)
     axis: jnp.ndarray       # (NN,) int32 split axis
     prim_idx: jnp.ndarray   # (T_padded,) int32 reordered triangle ids (-1 pad)
+    miss: jnp.ndarray       # (NN,) int32 threaded skip link (-1 = done)
+    leaf_soa: jnp.ndarray   # (T_padded, 9) packed p0|p1|p2 in leaf order
 
 
 # ---------------------------------------------------------------------------
 # Host build (numpy)
 # ---------------------------------------------------------------------------
+
+def _compute_miss_links(offset, n_prims):
+    """Threaded-BVH miss links for the depth-first layout: where traversal
+    jumps after a box miss / finished leaf.  For interior node i (children
+    i+1 and offset[i]): miss[i+1] = offset[i]; miss[offset[i]] = miss[i].
+    Root's miss is -1 (terminate).  Turns the reference's 64-deep stack walk
+    (BVHAccel.cpp:653-729) into a cursor-only automaton — the TPU-friendly
+    form: per-lane state is one int32 instead of a 64-word stack in HBM."""
+    nn = len(offset)
+    miss = np.full(nn, -1, np.int32)
+    stack = [(0, -1)]
+    while stack:
+        node, m = stack.pop()
+        miss[node] = m
+        if n_prims[node] == 0:  # interior
+            right = offset[node]
+            stack.append((node + 1, right))  # left child -> sibling
+            stack.append((right, m))         # right child -> my miss
+    return miss
+
+
+def _pack_leaf_soa(vertices, triangles, order):
+    """(T_padded, 9) p0|p1|p2 rows in leaf order: one contiguous row fetch
+    per leaf prim instead of an index-chase (tris gather + 3 vertex
+    gathers)."""
+    v = np.asarray(vertices, np.float32)
+    t = np.asarray(triangles, np.int64)
+    safe = np.maximum(order.astype(np.int64), 0)
+    tri = t[safe]
+    soa = np.concatenate([v[tri[:, 0]], v[tri[:, 1]], v[tri[:, 2]]], axis=1)
+    soa[order < 0] = 0.0
+    return soa.astype(np.float32)
+
+
+def _finish_build(arrs, vertices, triangles):
+    lo, hi, off, npr, ax, order = (np.asarray(a) for a in arrs)
+    miss = _compute_miss_links(off, npr)
+    soa = _pack_leaf_soa(vertices, triangles, order)
+    return BVH(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(off),
+               jnp.asarray(npr), jnp.asarray(ax), jnp.asarray(order),
+               jnp.asarray(miss), jnp.asarray(soa))
+
 
 def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):
     """SAH BVH over triangles; returns BVH arrays (device)."""
@@ -53,11 +97,11 @@ def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):
         built = bvh_native.build(np.asarray(vertices, np.float32),
                                  np.asarray(triangles, np.int32), leaf_size)
         if built is not None:
-            return BVH(*(jnp.asarray(a) for a in built))
+            return _finish_build(built, vertices, triangles)
     except Exception:
         pass
-    return BVH(*(jnp.asarray(a) for a in build_bvh_numpy(vertices, triangles,
-                                                         leaf_size)))
+    return _finish_build(build_bvh_numpy(vertices, triangles, leaf_size),
+                         vertices, triangles)
 
 
 def build_bvh_numpy(vertices, triangles, leaf_size=LEAF_SIZE):
@@ -220,6 +264,145 @@ def _leaf_intersect(verts, tris, prim_idx, leaf_off, o, d, t_best):
     valid = ok & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
     valid &= (t > 1e-5) & (t < t_best[:, None])
     return t, valid, safe, jnp.stack([u, v], -1)
+
+
+def _leaf_intersect_soa(bvh: BVH, leaf_off, o, d, t_best):
+    """Leaf intersection from the packed (T_padded, 9) leaf SoA: one
+    contiguous row fetch per prim instead of the tris->vertices index
+    chase.  Same Moller-Trumbore math as _leaf_intersect."""
+    k = LEAF_SIZE
+    rows = leaf_off[:, None] + jnp.arange(k)[None, :]       # (N,K)
+    ids = bvh.prim_idx[rows]
+    ok = ids >= 0
+    soa = bvh.leaf_soa[rows]                                 # (N,K,9)
+    p0, p1, p2 = soa[..., 0:3], soa[..., 3:6], soa[..., 6:9]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    dv = d[:, None]
+    pv = jnp.cross(dv, e2)
+    det = jnp.sum(e1 * pv, -1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tv = o[:, None] - p0
+    u = jnp.sum(tv * pv, -1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(dv * qv, -1) * inv
+    t = jnp.sum(e2 * qv, -1) * inv
+    valid = ok & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+    valid &= (t > 1e-5) & (t < t_best[:, None])
+    return t, valid, jnp.maximum(ids, 0), jnp.stack([u, v], -1)
+
+
+def bvh_closest_hit_stackless(bvh: BVH, o, d, t_max):
+    """Threaded (stackless) traversal, closest hit.
+
+    Cursor-only automaton over the miss-linked DFS layout: per step each
+    lane advances cursor -> cursor+1 on an interior box hit, or to
+    miss[cursor] otherwise; leaves run a fixed-size masked intersection.
+    Per-lane loop state is 1 int32 + the running best hit — no (N, 64)
+    stack array rewritten in HBM every step like the stack walk, which is
+    what made the lockstep walk lose to brute force below ~32k triangles
+    (PERF.md).  Trade-off vs. the reference's near-child-first order
+    (BVHAccel.cpp:672-681): child order is fixed (left first), so early-t
+    pruning relies on the slab test's `t_near < t_best` alone."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                            jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    class St(NamedTuple):
+        cursor: jnp.ndarray
+        t_best: jnp.ndarray
+        best_tri: jnp.ndarray
+        best_uv: jnp.ndarray
+        found: jnp.ndarray
+        step: jnp.ndarray
+
+    st = St(
+        cursor=jnp.zeros((n,), jnp.int32),
+        t_best=jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+        best_tri=jnp.zeros((n,), jnp.int32),
+        best_uv=jnp.zeros((n, 2), jnp.float32),
+        found=jnp.zeros((n,), bool),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        return jnp.any(st.cursor >= 0) & (st.step < MAX_TRAV_STEPS)
+
+    def body(st):
+        active = st.cursor >= 0
+        node = jnp.maximum(st.cursor, 0)
+        lo = bvh.bounds_lo[node]
+        hi = bvh.bounds_hi[node]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        miss = bvh.miss[node]
+
+        box_hit = _slab_test(lo, hi, o, inv_d, st.t_best) & active
+        is_leaf = (np_ > 0) & box_hit
+        is_inner = (np_ == 0) & box_hit
+
+        t, valid, ids, uv = _leaf_intersect_soa(bvh, off, o, d, st.t_best)
+        t_m = jnp.where(valid & is_leaf[:, None], t, INFINITY)
+        kbest = jnp.argmin(t_m, axis=-1)
+        rows = jnp.arange(n)
+        t_new = t_m[rows, kbest]
+        better = t_new < st.t_best
+        t_best = jnp.where(better, t_new, st.t_best)
+        best_tri = jnp.where(better, ids[rows, kbest], st.best_tri)
+        best_uv = jnp.where(better[:, None], uv[rows, kbest], st.best_uv)
+
+        cursor = jnp.where(is_inner, node + 1, miss)
+        cursor = jnp.where(active, cursor, st.cursor)
+        return St(cursor, t_best, best_tri, best_uv, st.found | better,
+                  st.step + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    b = jnp.stack(
+        [1.0 - st.best_uv[:, 0] - st.best_uv[:, 1], st.best_uv[:, 0],
+         st.best_uv[:, 1]], axis=-1,
+    )
+    return TriHit(hit=st.found, t=jnp.where(st.found, st.t_best, INFINITY),
+                  tri=st.best_tri, b=b)
+
+
+def bvh_any_hit_stackless(bvh: BVH, o, d, t_max):
+    """Threaded traversal, early-out occlusion (IntersectP semantics)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                            jnp.where(d < 0, -1e-20, 1e-20), d)
+    t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+
+    class St(NamedTuple):
+        cursor: jnp.ndarray
+        occluded: jnp.ndarray
+        step: jnp.ndarray
+
+    st = St(cursor=jnp.zeros((n,), jnp.int32),
+            occluded=jnp.zeros((n,), bool),
+            step=jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return jnp.any(st.cursor >= 0) & (st.step < MAX_TRAV_STEPS)
+
+    def body(st):
+        active = st.cursor >= 0
+        node = jnp.maximum(st.cursor, 0)
+        lo = bvh.bounds_lo[node]
+        hi = bvh.bounds_hi[node]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        miss = bvh.miss[node]
+        box_hit = _slab_test(lo, hi, o, inv_d, t_max) & active
+        is_leaf = (np_ > 0) & box_hit
+        is_inner = (np_ == 0) & box_hit
+        _, valid, _, _ = _leaf_intersect_soa(bvh, off, o, d, t_max)
+        occluded = st.occluded | jnp.any(valid & is_leaf[:, None], axis=-1)
+        cursor = jnp.where(is_inner, node + 1, miss)
+        cursor = jnp.where(active & ~occluded, cursor, jnp.where(active, -1, st.cursor))
+        return St(cursor, occluded, st.step + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st.occluded
 
 
 def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):

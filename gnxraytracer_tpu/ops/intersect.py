@@ -214,11 +214,22 @@ def _watertight_one(ox, oy, oz, m0, m1, sx, sy, sz, t_max, q0, q1, q2):
     return valid, t, e0 * inv_det, e1 * inv_det, e2 * inv_det
 
 
-def closest_triangle_hit_small(o, d, t_max, vertices, triangles):
+def closest_triangle_hit_small(o, d, t_max, vertices, triangles, unroll=None):
     """Rolled-loop brute force for small T: flat (N,) lane math inside a
-    lax.fori_loop over triangles — full lane utilization AND compact HLO
-    (the python-unrolled variant exploded compile time)."""
+    lax.fori_loop over triangles — full lane utilization AND compact HLO.
+
+    unroll: fori_loop unroll factor.  Measured on v5e (tools/bench_*):
+    isolated, rolled and fully-unrolled are identical (~3.3 ms/cast at
+    T=14, N=1M); *inside the full bounce loop* unrolling regresses the
+    256-spp bench 30% (10.8 -> 14.0 s) — the bigger fusion raises register
+    pressure and kills overlap with the shading stages.  Default stays
+    rolled; the knob exists for experiments."""
     import jax
+
+    if unroll is None:
+        unroll = 1
+    elif unroll is True:
+        unroll = min(int(triangles.shape[0]), 32)
 
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     (m0, m1), shear = _permute_shear(o, d)
@@ -247,7 +258,7 @@ def closest_triangle_hit_small(o, d, t_max, vertices, triangles):
         return best_t, best_tri, best_b, hit | better
 
     best_t, best_tri, best_b, hit = jax.lax.fori_loop(
-        0, triangles.shape[0], body, init
+        0, triangles.shape[0], body, init, unroll=unroll
     )
     return TriHit(hit=hit, t=jnp.where(hit, best_t, INFINITY), tri=best_tri,
                   b=best_b)
@@ -330,11 +341,15 @@ def closest_triangle_hit(o, d, t_max, vertices, triangles):
     )
 
 
-def any_triangle_hit(o, d, t_max, vertices, triangles):
+def any_triangle_hit(o, d, t_max, vertices, triangles, unroll=None):
     """Brute-force any-hit (shadow ray, IntersectP semantics)."""
     if triangles.shape[0] <= SMALL_SCENE_T:
         import jax
 
+        if unroll is None:
+            unroll = 1
+        elif unroll is True:
+            unroll = min(int(triangles.shape[0]), 32)
         ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
         (m0, m1), shear = _permute_shear(o, d)
         sx, sy, sz = shear[:, 0], shear[:, 1], shear[:, 2]
@@ -350,7 +365,7 @@ def any_triangle_hit(o, d, t_max, vertices, triangles):
             return occ | valid
 
         return jax.lax.fori_loop(0, triangles.shape[0], body,
-                                 jnp.zeros((n,), bool))
+                                 jnp.zeros((n,), bool), unroll=unroll)
     p0 = vertices[triangles[:, 0]]
     p1 = vertices[triangles[:, 1]]
     p2 = vertices[triangles[:, 2]]

@@ -166,10 +166,12 @@ def build_lbvh_device(vertices, triangles):
                 leaf_lo=leaf_lo, leaf_hi=leaf_hi)
 
 
-def lbvh_to_linear(built, leaf_size=1):
+def lbvh_to_linear(built, leaf_size=1, vertices=None, triangles=None):
     """Host O(T) pass: Karras topology -> the flattened depth-first SoA
-    layout ops/bvh.py traverses (offset = second child / first prim)."""
-    from .bvh import BVH
+    layout ops/bvh.py traverses (offset = second child / first prim).
+    vertices/triangles are needed to pack the leaf triangle SoA + miss
+    links for the threaded traversal; pass them through from build_lbvh."""
+    from .bvh import _finish_build
 
     order = np.asarray(built["order"])
     left = np.asarray(built["left"])
@@ -220,17 +222,22 @@ def lbvh_to_linear(built, leaf_size=1):
 
     pad = (-len(prim_order)) % leaf_size
     prim_order += [-1] * pad
-    return BVH(
-        bounds_lo=jnp.asarray(np.asarray(lo_out, np.float32)),
-        bounds_hi=jnp.asarray(np.asarray(hi_out, np.float32)),
-        offset=jnp.asarray(np.asarray(off_out, np.int32)),
-        n_prims=jnp.asarray(np.asarray(npr_out, np.int32)),
-        axis=jnp.asarray(np.asarray(ax_out, np.int32)),
-        prim_idx=jnp.asarray(np.asarray(prim_order, np.int32)),
+    arrs = (
+        np.asarray(lo_out, np.float32),
+        np.asarray(hi_out, np.float32),
+        np.asarray(off_out, np.int32),
+        np.asarray(npr_out, np.int32),
+        np.asarray(ax_out, np.int32),
+        np.asarray(prim_order, np.int32),
     )
+    if vertices is None:
+        vertices = np.zeros((1, 3), np.float32)
+        triangles = np.zeros((1, 3), np.int32)
+    return _finish_build(arrs, np.asarray(vertices), np.asarray(triangles))
 
 
 def build_lbvh(vertices, triangles, leaf_size=1):
     """Full LBVH: device morton/sort/link/fit + host flatten."""
     built = build_lbvh_device(jnp.asarray(vertices), jnp.asarray(triangles))
-    return lbvh_to_linear(built, leaf_size=leaf_size)
+    return lbvh_to_linear(built, leaf_size=leaf_size,
+                          vertices=vertices, triangles=triangles)

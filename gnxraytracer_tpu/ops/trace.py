@@ -56,10 +56,15 @@ def scene_intersect(scene, cfg, o, d, t_max):
 
     if cfg.n_tris > 0:
         if cfg.use_bvh:
-            from .bvh import bvh_closest_hit
+            if getattr(cfg, "bvh_stackless", True):
+                from .bvh import bvh_closest_hit_stackless
 
-            th = bvh_closest_hit(scene.bvh, scene.geom.vertices,
-                                 scene.geom.triangles, o, d, t_best)
+                th = bvh_closest_hit_stackless(scene.bvh, o, d, t_best)
+            else:
+                from .bvh import bvh_closest_hit
+
+                th = bvh_closest_hit(scene.bvh, scene.geom.vertices,
+                                     scene.geom.triangles, o, d, t_best)
         elif getattr(cfg, "use_pallas", False):
             from .pallas_intersect import pallas_closest_hit, tri_soa_from_mesh
 
@@ -99,10 +104,15 @@ def scene_occluded(scene, cfg, o, d, t_max):
     occ = jnp.zeros((n,), bool)
     if cfg.n_tris > 0:
         if cfg.use_bvh:
-            from .bvh import bvh_any_hit
+            if getattr(cfg, "bvh_stackless", True):
+                from .bvh import bvh_any_hit_stackless
 
-            occ = occ | bvh_any_hit(scene.bvh, scene.geom.vertices,
-                                    scene.geom.triangles, o, d, t_max)
+                occ = occ | bvh_any_hit_stackless(scene.bvh, o, d, t_max)
+            else:
+                from .bvh import bvh_any_hit
+
+                occ = occ | bvh_any_hit(scene.bvh, scene.geom.vertices,
+                                        scene.geom.triangles, o, d, t_max)
         else:
             occ = occ | intersect.any_triangle_hit(
                 o, d, t_max, scene.geom.vertices, scene.geom.triangles

