@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: packet (shared-cursor) BVH traversal.
+
+The reference's per-ray stack walk (/root/reference/accelerator/
+BVHAccel.cpp:653-729) is a divergent gather machine — the worst shape for
+a vector core.  Two TPU-native replacements exist in this codebase:
+
+  * ops/bvh.bvh_closest_hit_stackless — XLA-level lockstep walk with
+    per-lane cursors (per-step per-lane node *gathers*).
+  * this kernel — *packet* traversal: one grid program owns a block of
+    rays resident in VMEM; the whole block walks the threaded (miss-link)
+    BVH behind a single SCALAR cursor.  A node is visited if ANY ray in
+    the block wants it (vector slab test -> scalar any-reduce), so every
+    memory access is a scalar-indexed row read — no gathers at all — and
+    every arithmetic op is a dense (SUB, 128) vector op at full VPU
+    utilization.  Classic packet tracing economics: coherent packets
+    (primary rays, shadow rays to one light, sorted wavefronts) visit
+    nearly the per-ray-optimal node set; fully divergent packets degrade
+    toward visiting the union of per-ray node sets.
+
+Data layout (see pack_bvh_for_pallas):
+  nodes  (NN, 8) f32 : lo.xyz, hi.xyz, bitcast(meta0), bitcast(meta1)
+                       meta0 = n_prims == 0 ? first-child : leaf prim start
+                       meta1 = miss link (int32, -1 terminates)
+                       n_prims encoded by sign: meta0 >= 0 & leaf flag in
+                       high bit of meta1?  -- simpler: meta packed below.
+  leafs  (Tp, 16) f32: p0.xyz p1.xyz p2.xyz, pad, bitcast(tri_id), pad...
+
+Mosaic on this machine's tunnel cannot compile custom kernels (PERF.md),
+so the kernel is validated in interpret mode against the XLA walk; on real
+TPU runtimes flip interpret=False.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import INFINITY
+
+SUB = 8          # sublanes
+LANE = 128       # lanes
+BLOCK = SUB * LANE  # rays per grid program
+LEAF_SIZE = 4    # must match ops/bvh.LEAF_SIZE
+MAX_STEPS = 65536
+
+
+def pack_bvh_for_pallas(bvh):
+    """Pack the ops/bvh.BVH arrays into the two dense f32 tables the kernel
+    reads with scalar row indices.
+
+    nodes (NN, 8): lo.x lo.y lo.z hi.x hi.y hi.z bits(off_or_nprims)
+                   bits(miss) — where column 6 stores `offset` for interior
+                   nodes and `-(n_prims)` is NOT needed: leaf-ness is
+                   encoded as bits(n_prims) in the low 16 bits of column 6?
+                   Keep it simple: col6 = bits(offset), col7 = bits(miss),
+                   and a third int table is avoided by storing
+                   bits(n_prims) in the *sign*: interior offset is always
+                   > 0 (node 0 is the root), so col6 = offset for interior
+                   and -(prim_start + 1) for leaves.
+    leafs (Tp, 16): p0 p1 p2 (9 floats), bits(tri_id), 6 pad.
+    """
+    lo = np.asarray(bvh.bounds_lo, np.float32)
+    hi = np.asarray(bvh.bounds_hi, np.float32)
+    off = np.asarray(bvh.offset, np.int32)
+    npr = np.asarray(bvh.n_prims, np.int32)
+    miss = np.asarray(bvh.miss, np.int32)
+    prim = np.asarray(bvh.prim_idx, np.int32)
+    soa = np.asarray(bvh.leaf_soa, np.float32)
+    nn = len(off)
+
+    col6 = np.where(npr > 0, -(off + 1), off).astype(np.int32)
+    nodes = np.zeros((nn, 8), np.float32)
+    nodes[:, 0:3] = lo
+    nodes[:, 3:6] = hi
+    nodes[:, 6] = col6.view(np.float32)
+    nodes[:, 7] = miss.view(np.float32)
+
+    tp = len(prim)
+    leafs = np.zeros((tp, 16), np.float32)
+    leafs[:, 0:9] = soa
+    leafs[:, 9] = prim.view(np.float32)
+
+    return jnp.asarray(nodes), jnp.asarray(leafs)
+
+
+def _kernel(nodes_ref, leafs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+            t_out, tri_out, u_out, v_out):
+    """One grid program: BLOCK rays (as (SUB, LANE) tiles) walk the tree."""
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+
+    t_best0 = tmax_ref[:]
+    tri0 = jnp.full((SUB, LANE), -1, jnp.int32)
+    uv0 = jnp.zeros((SUB, LANE), jnp.float32)
+
+    def cond(c):
+        cursor, step = c[0], c[1]
+        return (cursor >= 0) & (step < MAX_STEPS)
+
+    def body(c):
+        cursor, step, t_best, tri_b, u_b, v_b = c
+        row = nodes_ref[cursor, :]                  # (8,) scalar row read
+        lo_x, lo_y, lo_z = row[0], row[1], row[2]
+        hi_x, hi_y, hi_z = row[3], row[4], row[5]
+        col6 = jax.lax.bitcast_convert_type(row[6], jnp.int32)
+        miss = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+
+        # vector slab test, scalar bounds broadcast over the ray block
+        tx0 = (lo_x - o_x) * inv_x
+        tx1 = (hi_x - o_x) * inv_x
+        ty0 = (lo_y - o_y) * inv_y
+        ty1 = (hi_y - o_y) * inv_y
+        tz0 = (lo_z - o_z) * inv_z
+        tz1 = (hi_z - o_z) * inv_z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+        want = (tn <= tf) & (tf > 0) & (tn < t_best)
+        any_want = jnp.any(want)
+
+        is_leaf = col6 < 0
+
+        def do_leaf(args):
+            t_best, tri_b, u_b, v_b = args
+            start = -col6 - 1
+
+            def leaf_iter(k, inner):
+                t_best, tri_b, u_b, v_b = inner
+                lr = leafs_ref[start + k, :]
+                tid = jax.lax.bitcast_convert_type(lr[9], jnp.int32)
+                p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                # Moller-Trumbore, scalar triangle vs vector rays
+                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) > 1e-12
+                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                         & (u + v <= 1) & (t > 1e-5) & (t < t_best))
+                t_best = jnp.where(valid, t, t_best)
+                tri_b = jnp.where(valid, tid, tri_b)
+                u_b = jnp.where(valid, u, u_b)
+                v_b = jnp.where(valid, v, v_b)
+                return t_best, tri_b, u_b, v_b
+
+            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
+                                     (t_best, tri_b, u_b, v_b))
+
+        t_best, tri_b, u_b, v_b = jax.lax.cond(
+            any_want & is_leaf, do_leaf, lambda a: a,
+            (t_best, tri_b, u_b, v_b))
+
+        descend = any_want & ~is_leaf
+        cursor = jnp.where(descend, cursor + 1, miss)
+        return cursor, step + 1, t_best, tri_b, u_b, v_b
+
+    init = (jnp.int32(0), jnp.int32(0), t_best0, tri0, uv0, uv0)
+    _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
+
+    t_out[:] = t_best
+    tri_out[:] = tri_b
+    u_out[:] = u_b
+    v_out[:] = v_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def packet_closest_hit(nodes, leafs, o, d, t_max, *, interpret=True):
+    """Closest hit for N rays via packet traversal.  N padded to BLOCK.
+
+    Returns (t, tri, u, v): t == t_max & tri == -1 where no hit.
+    On this machine's tunnel Mosaic cannot compile (interpret=True default,
+    see PERF.md); on a real TPU runtime pass interpret=False.
+    """
+    n = o.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    nb = n_pad // BLOCK
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    shape2 = (nb * SUB, LANE)
+    ox = pad(o[:, 0]).reshape(shape2)
+    oy = pad(o[:, 1]).reshape(shape2)
+    oz = pad(o[:, 2]).reshape(shape2)
+    dx = pad(d[:, 0], 1.0).reshape(shape2)
+    dy = pad(d[:, 1], 1.0).reshape(shape2)
+    dz = pad(d[:, 2], 1.0).reshape(shape2)
+    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+             -1.0).reshape(shape2)
+
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    t, tri, u, v = pl.pallas_call(
+        _kernel,
+        grid=(nb,),
+        in_specs=[table_spec, table_spec] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+        ],
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tm)
+
+    return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
+            u.reshape(-1)[:n], v.reshape(-1)[:n])
+
+
+def packet_closest_hit_trihit(bvh, o, d, t_max, *, interpret=True):
+    """Adapter returning ops/intersect.TriHit (like bvh_closest_hit)."""
+    from .intersect import TriHit
+
+    nodes, leafs = pack_bvh_for_pallas(bvh)
+    t, tri, u, v = packet_closest_hit(nodes, leafs, o, d, t_max,
+                                      interpret=interpret)
+    hit = tri >= 0
+    b = jnp.stack([1.0 - u - v, u, v], axis=-1)
+    return TriHit(hit=hit, t=jnp.where(hit, t, INFINITY),
+                  tri=jnp.maximum(tri, 0), b=b)

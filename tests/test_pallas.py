@@ -1,6 +1,7 @@
 """Pallas intersection kernel vs the XLA path (interpret mode on CPU)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from gnxraytracer_tpu.ops import intersect
@@ -54,3 +55,66 @@ class TestPallasIntersect:
                                      interpret=True)
         nt = np.asarray(near.t)[np.asarray(near.hit)]
         assert np.all(nt <= 2.0)
+
+
+class TestPacketBVH:
+    """Packet (shared-cursor) Pallas BVH traversal vs the XLA walks
+    (interpret mode — Mosaic compile is unavailable on the tunnel)."""
+
+    def _scene(self, n_tris, seed):
+        from test_bvh import random_scene
+        return random_scene(n_tris, seed)
+
+    @pytest.mark.parametrize("n_tris,n_rays,seed", [(60, 700, 1), (800, 1500, 3)])
+    def test_matches_stackless(self, n_tris, n_rays, seed):
+        from test_bvh import random_rays, random_scene
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops.pallas_bvh import packet_closest_hit_trihit
+
+        verts, idx = random_scene(n_tris, seed)
+        o, d = random_rays(n_rays, seed + 5)
+        tree = bvh_mod.build_bvh(verts, idx)
+        t_max = jnp.full(n_rays, 1e30, jnp.float32)
+        ph = packet_closest_hit_trihit(tree, jnp.asarray(o), jnp.asarray(d),
+                                       t_max)
+        ref = bvh_mod.bvh_closest_hit_stackless(tree, jnp.asarray(o),
+                                                jnp.asarray(d), t_max)
+        hp, hr = np.asarray(ph.hit), np.asarray(ref.hit)
+        assert (hp != hr).sum() <= max(1, n_rays // 200)
+        both = hp & hr
+        if both.any():
+            np.testing.assert_allclose(np.asarray(ph.t)[both],
+                                       np.asarray(ref.t)[both],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_tmax_respected(self):
+        from test_bvh import random_rays, random_scene
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops.pallas_bvh import packet_closest_hit_trihit
+
+        verts, idx = random_scene(100, 7)
+        o, d = random_rays(300, 8)
+        tree = bvh_mod.build_bvh(verts, idx)
+        near = packet_closest_hit_trihit(tree, jnp.asarray(o), jnp.asarray(d),
+                                         jnp.full(300, 0.5, jnp.float32))
+        nh, nt = np.asarray(near.hit), np.asarray(near.t)
+        assert np.all(nt[nh] <= 0.5)
+
+    def test_padding_lanes_inert(self):
+        """N not a multiple of the 1024-ray block: padded lanes must not
+        corrupt real results."""
+        from test_bvh import random_rays, random_scene
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops.pallas_bvh import packet_closest_hit_trihit
+
+        verts, idx = random_scene(60, 13)
+        o, d = random_rays(1025, 14)
+        tree = bvh_mod.build_bvh(verts, idx)
+        t_max = jnp.full(1025, 1e30, jnp.float32)
+        full = packet_closest_hit_trihit(tree, jnp.asarray(o), jnp.asarray(d),
+                                         t_max)
+        head = packet_closest_hit_trihit(tree, jnp.asarray(o[:1000]),
+                                         jnp.asarray(d[:1000]),
+                                         jnp.full(1000, 1e30, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(full.hit)[:1000],
+                                      np.asarray(head.hit))
