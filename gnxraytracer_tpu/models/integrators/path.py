@@ -53,6 +53,9 @@ class RenderCfg(NamedTuple):
     n_lights: int = 0
     use_bvh: bool = False
     bvh_stackless: bool = True  # threaded miss-link walk (cursor-only state)
+    # "packet" (shared cursor per 512-ray block + coherence sort),
+    # "stackless" (per-lane cursor), "stack" (per-lane 64-deep stack)
+    bvh_mode: str = "packet"
     reference_area_bug: bool = True
     spp_chunk: int = 4
     light_strategy: str = "uniform"  # uniform | power

@@ -405,6 +405,215 @@ def bvh_any_hit_stackless(bvh: BVH, o, d, t_max):
     return st.occluded
 
 
+PACKET = 512  # rays per shared-cursor packet
+
+
+def ray_sort_perm(o, d, lo, hi):
+    """Coherence permutation: sort rays by (direction octant, morton of
+    quantized origin).  Packets then see nearby rays pointing the same
+    way — the knob that turns packet traversal from union-of-paths back
+    into per-ray-optimal node visits.  Returns (perm, inv_perm)."""
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((o - lo) / ext * 31.0), 0, 31).astype(jnp.uint32)  # 5 bits
+
+    def spread(x):
+        x = (x | (x << 8)) & jnp.uint32(0x0300F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249)
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
+    key = (octant << jnp.uint32(15)) | morton
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
+def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
+    """Packet traversal at the XLA level (the jit-compilable twin of
+    ops/pallas_bvh): rays grouped into `packet`-wide blocks; each block
+    walks the threaded BVH behind ONE shared cursor, visiting a node when
+    any of its rays wants it.
+
+    Why this is the TPU shape (measured, tools/bench_bvh.py): the per-lane
+    lockstep walks spend every step doing N-wide node/leaf *gathers* — 8 s
+    per 1M incoherent rays on a 512-triangle tree.  Here the per-step
+    memory access is an (N/packet,)-sized gather (2048 rows, not 1M) and
+    all ray math is dense vector work.  The threaded cursor is strictly
+    increasing, so the walk terminates in <= NN steps by construction.
+    Coherence (the `sort` flag) bounds how close a block's union-of-nodes
+    is to each ray's own node set."""
+    n = o.shape[0]
+    t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    if sort:
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0])
+        o, d, t_max = o[perm], d[perm], t_max[perm]
+
+    b = packet
+    n_pad = ((n + b - 1) // b) * b
+    nb = n_pad // b
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    op = pad(o, 0.0).reshape(nb, b, 3)
+    dp = pad(d, 1.0).reshape(nb, b, 3)
+    tm = pad(t_max, -1.0).reshape(nb, b)
+    inv_d = 1.0 / jnp.where(jnp.abs(dp) < 1e-20,
+                            jnp.where(dp < 0, -1e-20, 1e-20), dp)
+
+    class St(NamedTuple):
+        cursor: jnp.ndarray   # (NB,)
+        t_best: jnp.ndarray   # (NB,B)
+        tri: jnp.ndarray      # (NB,B)
+        uv: jnp.ndarray       # (NB,B,2)
+
+    st = St(cursor=jnp.zeros((nb,), jnp.int32),
+            t_best=tm,
+            tri=jnp.full((nb, b), -1, jnp.int32),
+            uv=jnp.zeros((nb, b, 2), jnp.float32))
+
+    def cond(st):
+        return jnp.any(st.cursor >= 0)
+
+    def body(st):
+        active = st.cursor >= 0
+        node = jnp.maximum(st.cursor, 0)
+        lo = bvh.bounds_lo[node][:, None, :]   # (NB,1,3)
+        hi = bvh.bounds_hi[node][:, None, :]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        miss = bvh.miss[node]
+
+        t0 = (lo - op) * inv_d
+        t1 = (hi - op) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1) * (1.0 + 2.0 * 7.2e-7)
+        want = (tn <= tf) & (tf > 0) & (tn < st.t_best) & active[:, None]
+        any_want = jnp.any(want, axis=-1)
+
+        is_leaf = (np_ > 0) & any_want
+        is_inner = (np_ == 0) & any_want
+
+        t_best, tri_b, uv_b = st.t_best, st.tri, st.uv
+        for k in range(LEAF_SIZE):
+            ids = bvh.prim_idx[off + k]          # (NB,)
+            row = bvh.leaf_soa[off + k]          # (NB,9)
+            p0 = row[:, None, 0:3]
+            e1 = row[:, None, 3:6] - p0
+            e2 = row[:, None, 6:9] - p0
+            pv = jnp.cross(dp, e2)
+            det = jnp.sum(e1 * pv, -1)
+            ok = jnp.abs(det) > 1e-12
+            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tv = op - p0
+            u = jnp.sum(tv * pv, -1) * invd
+            qv = jnp.cross(tv, e1)
+            v = jnp.sum(dp * qv, -1) * invd
+            t = jnp.sum(e2 * qv, -1) * invd
+            valid = (ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+                     & (t > 1e-5) & (t < t_best)
+                     & (is_leaf & (ids >= 0))[:, None])
+            t_best = jnp.where(valid, t, t_best)
+            tri_b = jnp.where(valid, ids[:, None], tri_b)
+            uv_b = jnp.where(valid[..., None], jnp.stack([u, v], -1), uv_b)
+
+        cursor = jnp.where(is_inner, node + 1, miss)
+        cursor = jnp.where(active, cursor, st.cursor)
+        return St(cursor, t_best, tri_b, uv_b)
+
+    st = jax.lax.while_loop(cond, body, st)
+
+    t = st.t_best.reshape(-1)[:n]
+    tri = st.tri.reshape(-1)[:n]
+    uv = st.uv.reshape(-1, 2)[:n]
+    if sort:
+        t, tri, uv = t[inv], tri[inv], uv[inv]
+    hit = tri >= 0
+    bary = jnp.stack([1.0 - uv[:, 0] - uv[:, 1], uv[:, 0], uv[:, 1]], -1)
+    return TriHit(hit=hit, t=jnp.where(hit, t, INFINITY),
+                  tri=jnp.maximum(tri, 0), b=bary)
+
+
+def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
+    """Packet occlusion query: early-out per block once every ray in the
+    block is occluded or t-limited."""
+    n = o.shape[0]
+    t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    if sort:
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0])
+        o, d, t_max = o[perm], d[perm], t_max[perm]
+    b = packet
+    n_pad = ((n + b - 1) // b) * b
+    nb = n_pad // b
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    op = pad(o, 0.0).reshape(nb, b, 3)
+    dp = pad(d, 1.0).reshape(nb, b, 3)
+    tm = pad(t_max, -1.0).reshape(nb, b)
+    inv_d = 1.0 / jnp.where(jnp.abs(dp) < 1e-20,
+                            jnp.where(dp < 0, -1e-20, 1e-20), dp)
+
+    def cond(c):
+        cursor, occ = c
+        return jnp.any(cursor >= 0)
+
+    def body(c):
+        cursor, occ = c
+        active = cursor >= 0
+        node = jnp.maximum(cursor, 0)
+        lo = bvh.bounds_lo[node][:, None, :]
+        hi = bvh.bounds_hi[node][:, None, :]
+        np_ = bvh.n_prims[node]
+        off = bvh.offset[node]
+        miss = bvh.miss[node]
+        t0 = (lo - op) * inv_d
+        t1 = (hi - op) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1) * (1.0 + 2.0 * 7.2e-7)
+        want = (tn <= tf) & (tf > 0) & (tn < tm) & ~occ & active[:, None]
+        any_want = jnp.any(want, axis=-1)
+        is_leaf = (np_ > 0) & any_want
+        is_inner = (np_ == 0) & any_want
+        for k in range(LEAF_SIZE):
+            ids = bvh.prim_idx[off + k]
+            row = bvh.leaf_soa[off + k]
+            p0 = row[:, None, 0:3]
+            e1 = row[:, None, 3:6] - p0
+            e2 = row[:, None, 6:9] - p0
+            pv = jnp.cross(dp, e2)
+            det = jnp.sum(e1 * pv, -1)
+            ok = jnp.abs(det) > 1e-12
+            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tv = op - p0
+            u = jnp.sum(tv * pv, -1) * invd
+            qv = jnp.cross(tv, e1)
+            v = jnp.sum(dp * qv, -1) * invd
+            t = jnp.sum(e2 * qv, -1) * invd
+            occ = occ | (ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+                         & (t > 1e-5) & (t < tm)
+                         & (is_leaf & (ids >= 0))[:, None])
+        all_done = jnp.all(occ | (tm <= 0), axis=-1)
+        cursor = jnp.where(is_inner & ~all_done, node + 1, miss)
+        cursor = jnp.where(active, jnp.where(all_done, -1, cursor), cursor)
+        return cursor, occ
+
+    cursor0 = jnp.zeros((nb,), jnp.int32)
+    occ0 = jnp.zeros((nb, b), bool)
+    _, occ = jax.lax.while_loop(cond, body, (cursor0, occ0))
+    occ = occ.reshape(-1)[:n]
+    if sort:
+        occ = occ[inv]
+    return occ
+
+
 def bvh_closest_hit(bvh: BVH, verts, tris, o, d, t_max):
     """Lockstep stack traversal, closest hit.  Returns TriHit with pbrt
     barycentric convention b = (1-u-v, u, v)."""

@@ -56,7 +56,14 @@ def scene_intersect(scene, cfg, o, d, t_max):
 
     if cfg.n_tris > 0:
         if cfg.use_bvh:
-            if getattr(cfg, "bvh_stackless", True):
+            mode = getattr(cfg, "bvh_mode", "packet")
+            if not getattr(cfg, "bvh_stackless", True):
+                mode = "stack"
+            if mode == "packet":
+                from .bvh import packet_closest_hit_xla
+
+                th = packet_closest_hit_xla(scene.bvh, o, d, t_best)
+            elif mode == "stackless":
                 from .bvh import bvh_closest_hit_stackless
 
                 th = bvh_closest_hit_stackless(scene.bvh, o, d, t_best)
@@ -104,7 +111,14 @@ def scene_occluded(scene, cfg, o, d, t_max):
     occ = jnp.zeros((n,), bool)
     if cfg.n_tris > 0:
         if cfg.use_bvh:
-            if getattr(cfg, "bvh_stackless", True):
+            mode = getattr(cfg, "bvh_mode", "packet")
+            if not getattr(cfg, "bvh_stackless", True):
+                mode = "stack"
+            if mode == "packet":
+                from .bvh import packet_any_hit_xla
+
+                occ = occ | packet_any_hit_xla(scene.bvh, o, d, t_max)
+            elif mode == "stackless":
                 from .bvh import bvh_any_hit_stackless
 
                 occ = occ | bvh_any_hit_stackless(scene.bvh, o, d, t_max)

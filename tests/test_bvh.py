@@ -218,3 +218,61 @@ class TestStacklessTraversal:
             cursor = cursor + 1 if npr[cursor] == 0 else miss[cursor]
         assert seen == nn
         assert off is not None  # silence lint; off checked via walk above
+
+
+class TestPacketTraversalXLA:
+    """XLA packet traversal (shared cursor per ray block) vs brute force."""
+
+    @pytest.mark.parametrize("sort", [True, False])
+    def test_matches_bruteforce(self, sort):
+        verts, idx = random_scene(800, 3)
+        o, d = random_rays(3000, 7)
+        tree = bvh_mod.build_bvh(verts, idx)
+        tmax = jnp.full(3000, 1e30, jnp.float32)
+        brute = intersect.closest_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), tmax, jnp.asarray(verts),
+            jnp.asarray(idx))
+        pk = bvh_mod.packet_closest_hit_xla(tree, jnp.asarray(o),
+                                            jnp.asarray(d), tmax, sort=sort)
+        bh, fh = np.asarray(brute.hit), np.asarray(pk.hit)
+        assert (bh != fh).sum() <= 5
+        both = bh & fh
+        np.testing.assert_allclose(np.asarray(brute.t)[both],
+                                   np.asarray(pk.t)[both], rtol=1e-3,
+                                   atol=1e-4)
+
+    @pytest.mark.parametrize("sort", [True, False])
+    def test_any_hit(self, sort):
+        verts, idx = random_scene(400, 6)
+        o, d = random_rays(2000, 9)
+        tree = bvh_mod.build_bvh(verts, idx)
+        tmax = jnp.full(2000, 1e30, jnp.float32)
+        brute = np.asarray(intersect.any_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), tmax, jnp.asarray(verts),
+            jnp.asarray(idx)))
+        pk = np.asarray(bvh_mod.packet_any_hit_xla(
+            tree, jnp.asarray(o), jnp.asarray(d), tmax, sort=sort))
+        assert (brute != pk).sum() <= 4
+
+    def test_ragged_n(self):
+        """N not a multiple of the packet size."""
+        verts, idx = random_scene(100, 11)
+        o, d = random_rays(777, 12)
+        tree = bvh_mod.build_bvh(verts, idx)
+        tmax = jnp.full(777, 1e30, jnp.float32)
+        pk = bvh_mod.packet_closest_hit_xla(tree, jnp.asarray(o),
+                                            jnp.asarray(d), tmax)
+        brute = intersect.closest_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), tmax, jnp.asarray(verts),
+            jnp.asarray(idx))
+        assert (np.asarray(pk.hit) != np.asarray(brute.hit)).sum() <= 2
+
+    def test_sort_perm_roundtrip(self):
+        o, d = random_rays(513, 3)
+        perm, inv = bvh_mod.ray_sort_perm(jnp.asarray(o), jnp.asarray(d),
+                                          jnp.asarray([-8.0, -8, -8]),
+                                          jnp.asarray([8.0, 8, 8]))
+        p = np.asarray(perm)
+        assert sorted(p.tolist()) == list(range(513))
+        np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                      np.arange(513))

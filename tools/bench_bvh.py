@@ -72,10 +72,21 @@ def timed(name, fn, *args, reps=3):
     return out
 
 
+def coherent_rays():
+    """Primary-like rays: pinhole at (0,0,3) through a 1000x1000 grid."""
+    xs = (np.arange(1000) + 0.5) / 1000 * 2 - 1
+    px, py = np.meshgrid(xs, xs, indexing="xy")
+    d = np.stack([px.ravel(), py.ravel(), -np.ones(N)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(np.asarray([0, 0, 3.0], np.float32), (N, 3)).copy()
+    return jnp.asarray(o), jnp.asarray(d)
+
+
 def main():
-    o, d = rays()
+    o_i, d_i = rays()
+    o_c, d_c = coherent_rays()
     tmax = jnp.full((N,), 1e30, jnp.float32)
-    for n_seg in (16, 50, 158, 500):
+    for n_seg in (50, 158, 500):
         V, Tr = make_blob(n_seg)
         t_count = len(Tr)
         print(f"T = {t_count} triangles:", flush=True)
@@ -83,19 +94,25 @@ def main():
         tree = bvh_mod.build_bvh(V, Tr)
         print(f"  ({len(np.asarray(tree.offset))} nodes)", flush=True)
 
-        if t_count <= 600_000:
-            brute = timed("blocked brute force",
-                          jax.jit(lambda oo, dd: intersect.closest_triangle_hit_blocked(
-                              oo, dd, tmax, vj, ij)), o, d)
-        stack = timed("stack walk",
-                      jax.jit(lambda oo, dd: bvh_mod.bvh_closest_hit(
-                          tree, vj, ij, oo, dd, tmax)), o, d)
-        sless = timed("stackless threaded",
-                      jax.jit(lambda oo, dd: bvh_mod.bvh_closest_hit_stackless(
-                          tree, oo, dd, tmax)), o, d)
-        h1 = np.asarray(stack.hit).sum()
-        h2 = np.asarray(sless.hit).sum()
-        print(f"  hits: stack={h1} stackless={h2}", flush=True)
+        if t_count <= 60_000:
+            timed("brute blocked / coherent",
+                  jax.jit(lambda oo, dd: intersect.closest_triangle_hit_blocked(
+                      oo, dd, tmax, vj, ij)), o_c, d_c)
+        for label, o, d in (("coherent", o_c, d_c), ("incoherent", o_i, d_i)):
+            pk = timed(f"packet sorted / {label}",
+                       jax.jit(lambda oo, dd: bvh_mod.packet_closest_hit_xla(
+                           tree, oo, dd, tmax, sort=True)), o, d)
+            timed(f"packet unsorted / {label}",
+                  jax.jit(lambda oo, dd: bvh_mod.packet_closest_hit_xla(
+                      tree, oo, dd, tmax, sort=False)), o, d)
+            print(f"  packet hits ({label}): {np.asarray(pk.hit).sum()}",
+                  flush=True)
+        if t_count <= 6000:
+            sless = timed("stackless / incoherent",
+                          jax.jit(lambda oo, dd: bvh_mod.bvh_closest_hit_stackless(
+                              tree, oo, dd, tmax)), o_i, d_i)
+            print(f"  stackless hits: {np.asarray(sless.hit).sum()}",
+                  flush=True)
 
 
 if __name__ == "__main__":
