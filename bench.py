@@ -48,7 +48,10 @@ def main():
     # models/integrators/path.trace_paths_fast + tests)
     cfg = path.make_config(scene, width, height, spp=spp, max_depth=max_depth,
                            spp_chunk=spp_chunk, rr_threshold=1.0,
-                           fast_mis=True)
+                           fast_mis=True,
+                           # tail compaction: bounces 5-8 run at 1/8 width
+                           # (RR leaves ~2% alive past bounce 4; PERF.md)
+                           compact_tail=True)
     # Owen-scrambled Sobol: same-or-better equidistribution than Halton and
     # ~40x cheaper to evaluate on TPU (PERF.md)
     sampler = samplers.make_sobol_sampler(spp)

