@@ -382,13 +382,13 @@ def _hit_light_select_pdf(scene, cfg, light_idx):
     return jnp.full(light_idx.shape, 1.0 / nl, jnp.float32)
 
 
-def _make_fast_bounce(scene, cfg: RenderCfg, U, n):
-    """Build the per-bounce body of the fast-MIS loop, closed over a sample
-    matrix U of n rows (full wavefront, or a compacted tail buffer)."""
+def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
+    """Build the per-bounce body of the fast-MIS loop.  get_ub(b) returns
+    the (n, DIMS_PER_BOUNCE) sample dims for bounce b — either a slice of a
+    precomputed matrix (halton) or computed in-loop (sobol/random)."""
 
     def bounce(b, state):
-        base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
-        ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base), (n, DIMS_PER_BOUNCE))
+        ub = get_ub(b)
         hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
                                     jnp.full((n,), INFINITY))
         it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
@@ -527,8 +527,28 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     do_compact = (cfg.compact_tail and cfg.compact_from <= cfg.max_depth
                   and n % cfg.compact_frac == 0
                   and n // cfg.compact_frac >= 256)
-    U = samplers.sample_all_dims(sampler, pixel, sample,
-                                 n_dims + (1 if do_compact else 0))
+    n_dims_tot = n_dims + (1 if do_compact else 0)
+    inloop = samplers.supports_inloop_dims(sampler)
+    if inloop:
+        # dims computed inside the bounce loop: no (N, D) sample matrix in
+        # HBM (at the 1M-lane bench that matrix costs ~300 MB of traffic)
+        U = None
+
+        def make_get_ub(pix, smp):
+            def get_ub(b):
+                base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
+                return samplers.sample_bounce_dims(
+                    sampler, pix, smp, base, DIMS_PER_BOUNCE, n_dims_tot)
+            return get_ub
+
+        get_ub = make_get_ub(pixel, sample)
+    else:
+        U = samplers.sample_all_dims(sampler, pixel, sample, n_dims_tot)
+
+        def get_ub(b):
+            return jax.lax.dynamic_slice(
+                U, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
+                (n, DIMS_PER_BOUNCE))
 
     state = dict(
         o=o, d=d,
@@ -540,7 +560,7 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_p=o,
     )
-    bounce = _make_fast_bounce(scene, cfg, U, n)
+    bounce = _make_fast_bounce(scene, cfg, get_ub, n)
     if not do_compact:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
         return state["L"]
@@ -557,7 +577,12 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     # p == 1 (no-op, bit-identical to uncompacted) when alive <= 0.75*M.
     p_keep = jnp.minimum(
         1.0, 0.75 * m / jnp.maximum(alive_count.astype(jnp.float32), 1.0))
-    kept = alive & (U[:, n_dims] < p_keep)
+    if inloop:
+        u_thin = samplers.sample_bounce_dims(
+            sampler, pixel, sample, jnp.int32(n_dims), 1, n_dims_tot)[:, 0]
+    else:
+        u_thin = U[:, n_dims]
+    kept = alive & (u_thin < p_keep)
     beta = state["beta"] / p_keep
     slots = jnp.cumsum(kept.astype(jnp.int32)) - 1  # rank among kept lanes
     lane_id = jnp.arange(n, dtype=jnp.int32)
@@ -575,7 +600,17 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         prev_pdf=state["prev_pdf"][src],
         prev_p=state["prev_p"][src],
     )
-    bounce2 = _make_fast_bounce(scene, cfg, U[src], m)
+    if inloop:
+        get_ub2 = make_get_ub(pixel[src], sample[src])
+    else:
+        U2 = U[src]
+
+        def get_ub2(b):
+            return jax.lax.dynamic_slice(
+                U2, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
+                (m, DIMS_PER_BOUNCE))
+
+    bounce2 = _make_fast_bounce(scene, cfg, get_ub2, m)
     state2 = jax.lax.fori_loop(b1, cfg.max_depth + 1, bounce2, state2)
     return state["L"].at[src].add(
         jnp.where(valid[..., None], state2["L"], 0.0))

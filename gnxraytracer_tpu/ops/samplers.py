@@ -188,6 +188,41 @@ def sample_all_dims(s: Sampler, pixel, sample, n_dims: int):
     return jnp.stack(cols[:n_dims], axis=-1)
 
 
+def supports_inloop_dims(s: Sampler) -> bool:
+    """True when per-bounce dims can be computed inside the traced bounce
+    loop with a *traced* starting dim (sobol/random: the dim only selects a
+    row of a tiny table / feeds a hash).  Halton needs static prime bases
+    per dim, so it precomputes the full (N, D) matrix instead."""
+    return s.kind in ("sobol", "random")
+
+
+def sample_bounce_dims(s: Sampler, pixel, sample, base, k: int, max_dims: int):
+    """Compute k consecutive dims starting at traced scalar dim `base` for
+    every lane: the in-loop alternative to slicing a precomputed (N, D)
+    sample matrix, which costs an (N, D) f32 HBM round-trip per wavefront
+    (~300 MB at the 1M-lane bench).  Same bit-exact values as
+    sample_all_dims(...)[:, base:base+k]."""
+    dims = base + jnp.arange(k, dtype=jnp.int32)
+    if s.kind == "random":
+        return rng.uniform_float(pixel[:, None], sample[:, None],
+                                 dims[None, :], s.seed)
+    if s.kind == "sobol":
+        from . import sobol as _sobol
+
+        mats_all = jnp.asarray(_sobol.sobol_matrices()[:max_dims])  # (D, 32)
+        mats = jax.lax.dynamic_slice(
+            mats_all, (jnp.asarray(base, jnp.int32), jnp.int32(0)),
+            (k, _sobol.N_BITS))  # (k, 32)
+        idx = sample.astype(jnp.uint32)
+        v = jnp.zeros((pixel.shape[0], k), jnp.uint32)
+        for kb in range(_sobol.N_BITS):
+            bit = (idx >> jnp.uint32(kb)) & jnp.uint32(1)
+            v = jnp.where((bit == 1)[:, None], v ^ mats[None, :, kb], v)
+        seeds = rng.hash_combine(pixel[:, None], dims[None, :], s.seed)
+        return _sobol.to_unit_float(_sobol.owen_scramble(v, seeds))
+    raise ValueError(f"in-loop dims unsupported for sampler kind {s.kind!r}")
+
+
 def camera_sample(s: Sampler, pixel, sample, width, pixel_filter="box",
                   filter_radius=2.0, filter_alpha=2.0):
     """CameraSample per reference GetCameraSample (core/Sampler.cpp:14-20):
