@@ -1,11 +1,11 @@
 """Benchmark: Mrays/s/chip + wall-clock to 256 spp on the Cornell box
 (BASELINE.md metric).  Prints ONE JSON line.
 
-The reference publishes no numbers (BASELINE.md); vs_baseline compares
-against a conservative estimate of the reference's CPU throughput on the
-same workload: its OpenMP Whitted/Path loop reaches single-digit Mrays/s
-on a desktop CPU (measured class of pbrt-v3-derived CPU tracers);
-we use 10 Mrays/s as the baseline denominator.
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+reference itself, MEASURED on this host: the headless oracle
+(tools/ref_oracle = the reference's unmodified render core) on the same
+workload (500x500, 256 spp, path depth 8, Cornell+skybox).  See
+BASELINE_MEASURED.json; regenerate with `python tools/parity.py baseline`.
 """
 
 import json
@@ -25,11 +25,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import jax.numpy as jnp
 
-# Reference CPU estimate for this exact workload (500x500, depth-8 path
-# tracing with NEE+MIS, 3 scene casts/bounce): pbrt-v3-class tracers reach
-# ~2-5 Mrays/s on a desktop 8-core, i.e. ~0.1-0.2 Mpaths/s at 27
-# casts/path.  BASELINE.md: the reference itself publishes nothing.
-BASELINE_MPATHS = 0.2
+def _measured_baseline():
+    """Reference renderer's measured Mpaths/s on this exact workload
+    (tools/parity.py baseline -> BASELINE_MEASURED.json)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return json.load(f)["workloads"]["path_500px_256spp"]["Mpaths_per_s"]
+    except (OSError, KeyError):
+        return 0.4371  # measured 2026-08-20, 2-core Xeon builder VM
+
+
+BASELINE_MPATHS = _measured_baseline()
 
 
 def main():

@@ -310,9 +310,10 @@ def pdf_li(scene: Scene, cfg, light_idx, p, wi):
         )
         pdf = jnp.where(m, pdf_sa, pdf)
 
-    if cfg.has_skybox:
-        m = kind == LIGHT_SKYBOX
-        pdf = jnp.where(m, 1.0 / (4.0 * PI), pdf)
+    # SkyBoxLight::Pdf_Li returns 0 (lights/SkyBoxLight.h:37), which makes
+    # EstimateDirect's BSDF side skip it entirely for non-specular lobes
+    # (core/Integrator.cpp:186-188 "if (lightPdf == 0) return Ld").  So the
+    # skybox kind deliberately leaves pdf at 0 here.
 
     if cfg.has_env:
         m = kind == LIGHT_INFINITE

@@ -1,0 +1,88 @@
+"""Image parity against the ACTUAL reference renderer (VERDICT item #1).
+
+The goldens in tests/golden/ref_*.npz are linear float renders produced by
+the headless oracle (tools/ref_oracle) — the reference's own render core
+(core/Integrator.cpp:225-319, integrators/*.cpp) compiled unmodified with
+a linear FrameBuffer stub — on the reference's hardcoded Cornell scene
+(ui/RenderThread.cpp:46-187, ui/ModelList.cpp:71-147) at 2048 spp.
+Regenerate with: python tools/parity.py goldens
+
+Acceptance bar (PARITY.md): bit parity is impossible (static per-bounce
+sampler dimensions vs the reference's data-dependent dim counter), so
+parity is statistical: 8x8 block-averaged images agree within the MC
+standard-error envelope, and channel means agree to <1%.  Measured errors
+at 128 spp (tools/parity.py compare 128) are 0.1-0.6% on block means; the
+thresholds below are ~3x that.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gnxraytracer_tpu.models.integrators import direct as D
+from gnxraytracer_tpu.models.integrators import path as P
+from gnxraytracer_tpu.models.integrators import whitted as Wt
+from gnxraytracer_tpu.ops import samplers
+from gnxraytracer_tpu.scene import presets
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+MODS = {"path": P, "direct": D, "whitted": Wt}
+
+
+def load_golden(name):
+    z = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    return z["image"], json.loads(str(z["meta"]))
+
+
+def render_ours(meta, spp, spp_chunk=32):
+    w, h = meta["w"], meta["h"]
+    scene, cam = presets.cornell_box(
+        w, h, sigma=meta["sigma"], skybox=bool(meta["skybox"]))
+    cfg = P.make_config(scene, w, h, spp=spp, max_depth=meta["max_depth"],
+                        spp_chunk=spp_chunk)
+    smp = samplers.make_halton_sampler(spp, w, h)
+    mod = MODS[meta["integrator"]]
+    acc = jnp.zeros((w * h, 3), jnp.float32)
+    s = 0
+    while s < spp:
+        ns = min(spp_chunk, spp - s)
+        acc = acc + mod._render_chunk_jit(scene, cam, smp, cfg, s, ns)
+        s += ns
+    return np.asarray(acc).reshape(h, w, 3) / spp
+
+
+def block_mean(img, b=8):
+    h, w, c = img.shape
+    return img[: h // b * b, : w // b * b].reshape(h // b, b, w // b, b, c).mean((1, 3))
+
+
+def check_parity(name, spp, block_tol, mean_tol):
+    ref, meta = load_golden(name)
+    ours = render_ours(meta, spp)
+    assert not np.isnan(ours).any()
+    mean_err = np.abs(ours.mean((0, 1)) - ref.mean((0, 1))) / ref.mean()
+    assert mean_err.max() < mean_tol, (
+        f"{name}: channel means ref={ref.mean((0,1))} ours={ours.mean((0,1))}")
+    berr = np.abs(block_mean(ours) - block_mean(ref)).mean() / ref.mean()
+    assert berr < block_tol, f"{name}: block8 rel err {berr:.4f} >= {block_tol}"
+
+
+# Fast tier: 32 spp ours vs 2048 spp reference; errors measured ~0.7-1.2%,
+# thresholds 3x.  Each case is one jit compile + a few seconds of render.
+@pytest.mark.parametrize("name", ["ref_path_cornell", "ref_direct_cornell"])
+def test_reference_parity_fast(name):
+    check_parity(name, spp=32, block_tol=0.035, mean_tol=0.03)
+
+
+# Thorough tier: 128 spp; measured 0.1-0.6% block error, thresholds ~3x.
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", ["ref_path_cornell", "ref_path_lambert", "ref_direct_cornell",
+             "ref_whitted_cornell"])
+def test_reference_parity(name):
+    check_parity(name, spp=128, block_tol=0.018, mean_tol=0.01)
