@@ -59,7 +59,10 @@ def main():
                            fast_mis=True,
                            # tail compaction: bounces 5-8 run at 1/8 width
                            # (RR leaves ~2% alive past bounce 4; PERF.md)
-                           compact_tail=True)
+                           compact_tail=True,
+                           # measured useful scene casts (VERDICT r1: no
+                           # more estimated Mrays)
+                           count_rays=True)
     # Owen-scrambled Sobol: same-or-better equidistribution than Halton and
     # ~40x cheaper to evaluate on TPU (PERF.md)
     sampler = samplers.make_sobol_sampler(spp)
@@ -68,25 +71,25 @@ def main():
 
     # warmup / compile (block via host fetch: block_until_ready does not
     # actually synchronize on the axon tunnel platform)
-    img = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
+    img, _nr = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
     np.asarray(img[:1])
 
     t0 = time.time()
     acc = jnp.zeros((width * height, 3), jnp.float32)
+    nrays = jnp.zeros((), jnp.float32)
     s = 0
     while s < spp:
-        acc = acc + path._render_chunk_jit(scene, camera, sampler, cfg, s,
-                                           spp_chunk)
+        img, nr = path._render_chunk_jit(scene, camera, sampler, cfg, s,
+                                         spp_chunk)
+        acc = acc + img
+        nrays = nrays + nr
         s += spp_chunk
     np.asarray(acc[:1])
     wall = time.time() - t0
+    n_rays = float(nrays)  # measured useful scene casts (alive lanes)
 
     n_paths = width * height * spp
     mpaths = n_paths / wall / 1e6
-    # actual scene casts: 3 per bounce (extension + shadow + NEE-BSDF MIS)
-    # over max_depth bounces, terminated early by RR — 27x paths is the
-    # upper bound, ~20x the RR-weighted estimate.
-    mrays_est = mpaths * (3 * max_depth * 0.8)
 
     result = {
         "metric": "cornell_500px_256spp_Mpaths_per_s",
@@ -94,7 +97,8 @@ def main():
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths / BASELINE_MPATHS, 2),
         "wall_s_256spp": round(wall, 2),
-        "Mrays_per_s_est": round(mrays_est, 1),
+        "Mrays_per_s": round(n_rays / wall / 1e6, 1),
+        "rays_per_path": round(n_rays / n_paths, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

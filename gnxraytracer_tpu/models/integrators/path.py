@@ -76,6 +76,11 @@ class RenderCfg(NamedTuple):
     pixel_filter: str = "box"  # box | gaussian (filter importance sampling)
     filter_radius: float = 2.0
     filter_alpha: float = 2.0
+    # Count useful scene casts (lanes actually tracing, not dispatch width):
+    # trace_paths* then return (L, n_rays) and render_chunk (img, n_rays).
+    # Replaces the reference's absent ray accounting and bench.py's old
+    # estimate; one scalar reduce per cast per bounce.
+    count_rays: bool = False
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -248,60 +253,40 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
 # The bounce loop
 # ---------------------------------------------------------------------------
 
-class PathState(NamedTuple):
-    o: jnp.ndarray
-    d: jnp.ndarray
-    beta: jnp.ndarray
-    L: jnp.ndarray
-    alive: jnp.ndarray
-    specular: jnp.ndarray
-    eta_scale: jnp.ndarray
+def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n):
+    """Per-bounce body of the reference-faithful estimator (3 scene casts
+    per bounce: closest hit + NEE shadow + NEE BSDF-side re-intersection,
+    exactly EstimateDirect's structure, core/Integrator.cpp:93-210).
+    Same dict-state layout as _make_fast_bounce so the compaction runner
+    is shared; prev_pdf/prev_p are carried but unused here."""
 
-
-def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
-    """Trace one wavefront of paths to completion. Returns (N,3) radiance."""
-    n = o.shape[0]
-    # Precompute every sampler dimension for the whole wavefront (static
-    # bases -> short digit loops, no big-table gathers inside the loop).
-    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
-    U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
-    state = PathState(
-        o=o, d=d,
-        beta=jnp.ones((n, 3), jnp.float32),
-        L=jnp.zeros((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
-        specular=jnp.zeros((n,), bool),
-        eta_scale=jnp.ones((n,), jnp.float32),
-    )
-
-    def bounce(b, state: PathState):
-        base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
-        hit = trace.scene_intersect(scene, cfg, state.o, state.d,
+    def bounce(b, state):
+        ub = get_ub(b)
+        hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
                                     jnp.full((n,), INFINITY))
-        it = trace.make_interaction(scene, cfg, state.o, state.d, hit)
+        it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
 
-        L = state.L
+        L = state["L"]
         # emission at path vertex (bounce 0 or after specular)
-        emit_ok = state.alive & ((b == 0) | state.specular)
+        emit_ok = state["alive"] & ((b == 0) | state["specular"])
         if cfg.has_area:
             is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (it.light >= 0)
             le = lights_mod.area_light_emitted(
-                scene, jnp.maximum(it.light, 0), it.ng, -state.d,
+                scene, jnp.maximum(it.light, 0), it.ng, -state["d"],
                 cfg.reference_area_bug,
             )
             add = emit_ok & is_emitter
-            L = L + jnp.where(add[..., None], state.beta * le, 0.0)
+            L = L + jnp.where(add[..., None], state["beta"] * le, 0.0)
         if cfg.has_skybox or cfg.has_env:
             esc = emit_ok & ~hit.hit
-            le_inf = lights_mod.escaped_radiance(scene, cfg, state.o, state.d)
-            L = L + jnp.where(esc[..., None], state.beta * le_inf, 0.0)
+            le_inf = lights_mod.escaped_radiance(scene, cfg, state["o"], state["d"])
+            L = L + jnp.where(esc[..., None], state["beta"] * le_inf, 0.0)
 
-        alive = state.alive & hit.hit & (b < cfg.max_depth)
+        alive = state["alive"] & hit.hit & (b < cfg.max_depth)
 
         # NEE (skip for perfectly specular BSDFs, PathIntegrator.cpp:138)
         wo_local = trace.to_local(it, it.wo)
         has_ns = mat_mod.has_nonspecular(scene.materials, it.mat, cfg)
-        ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base), (n, DIMS_PER_BOUNCE))
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
@@ -313,7 +298,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         nee_ok = alive & has_ns
         L = L + jnp.where(
             nee_ok[..., None],
-            state.beta * ld / jnp.maximum(light_pdf, 1e-12)[..., None],
+            state["beta"] * ld / jnp.maximum(light_pdf, 1e-12)[..., None],
             0.0,
         )
 
@@ -321,16 +306,15 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_bsdf = ub[:, 5:7]
         smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
                              u_bsdf[..., 0], kd_ov)
-        cos_factor = jnp.ones_like(smp.pdf)  # folded into smp.weight
-        beta = state.beta * smp.weight
+        beta = state["beta"] * smp.weight
         alive = alive & smp.valid & jnp.any(beta > 0, axis=-1)
-        specular = smp.specular
         # etaScale update for specular transmission (PathIntegrator.cpp:161)
         entering = dot(it.wo, it.ng) > 0
-        es_update = jnp.where(entering, smp.eta * smp.eta, 1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
+        es_update = jnp.where(entering, smp.eta * smp.eta,
+                              1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
         eta_scale = jnp.where(
-            smp.specular & smp.transmission, state.eta_scale * es_update,
-            state.eta_scale,
+            smp.specular & smp.transmission, state["eta_scale"] * es_update,
+            state["eta_scale"],
         )
 
         wi_world = trace.to_world(it, smp.wi)
@@ -348,20 +332,33 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         )
         alive = alive & ~killed
 
-        return PathState(
-            o=jnp.where(alive[..., None], no, state.o),
-            d=jnp.where(alive[..., None], nd, state.d),
-            beta=jnp.where(alive[..., None], beta, state.beta),
+        out = dict(
+            o=jnp.where(alive[..., None], no, state["o"]),
+            d=jnp.where(alive[..., None], nd, state["d"]),
+            beta=jnp.where(alive[..., None], beta, state["beta"]),
             L=L,
             alive=alive,
-            specular=jnp.where(alive, specular, state.specular),
-            eta_scale=jnp.where(alive, eta_scale, state.eta_scale),
+            specular=jnp.where(alive, smp.specular, state["specular"]),
+            eta_scale=jnp.where(alive, eta_scale, state["eta_scale"]),
+            prev_pdf=state["prev_pdf"],
+            prev_p=state["prev_p"],
         )
+        if cfg.count_rays:
+            # 1 closest-hit cast per alive-at-entry lane; EstimateDirect's
+            # shadow ray + BSDF-side re-intersection for NEE candidates
+            out["nrays"] = (state["nrays"]
+                            + jnp.sum(state["alive"].astype(jnp.float32))
+                            + 2.0 * jnp.sum(nee_ok.astype(jnp.float32)))
+        return out
 
-    # maxDepth+1 iterations: the final one only collects emission
-    # (reference loop breaks after the bounces >= maxDepth emission add)
-    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
-    return state.L
+    return bounce
+
+
+def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+    """Reference-faithful wavefront path tracing (3 casts/bounce).
+    Returns (N,3) radiance, or ((N,3), n_rays) when cfg.count_rays."""
+    return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
+                       _make_faithful_bounce)
 
 
 # ---------------------------------------------------------------------------
@@ -431,14 +428,13 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
                     power_heuristic(1.0, state["prev_pdf"], 1.0, env_pdf),
                 )
             else:
-                # skybox: the reference MIS-weights its BSDF side against
-                # Pdf_Li = 1/4pi even though Sample_Li is black — replicate
-                # for estimator parity (slightly lossy, like the reference)
-                sky_pdf = 1.0 / (4.0 * 3.14159265)
-                w = jnp.where(
-                    state["specular"], 1.0,
-                    power_heuristic(1.0, state["prev_pdf"], 1.0, sky_pdf),
-                )
+                # skybox: SkyBoxLight::Pdf_Li == 0 (SkyBoxLight.h:37) makes
+                # the reference's EstimateDirect DROP the BSDF-side sample
+                # ("if (lightPdf == 0) return Ld", core/Integrator.cpp:186).
+                # The skybox therefore only ever reaches the image through
+                # the bounce-0/specular escape path — weight 0 on
+                # non-specular escapes, exactly like the reference.
+                w = jnp.where(state["specular"], 1.0, 0.0)
             L = L + jnp.where(esc[..., None],
                               state["beta"] * le_inf * w[..., None], 0.0)
 
@@ -494,7 +490,7 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
         alive = alive & ~killed
 
-        return dict(
+        out = dict(
             o=jnp.where(alive[..., None], no, state["o"]),
             d=jnp.where(alive[..., None], nd, state["d"]),
             beta=jnp.where(alive[..., None], beta, state["beta"]),
@@ -505,6 +501,14 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
             prev_pdf=jnp.where(alive, jnp.maximum(smp.pdf, 1e-12), state["prev_pdf"]),
             prev_p=jnp.where(alive[..., None], it.p, state["prev_p"]),
         )
+        if cfg.count_rays:
+            # 1 closest-hit cast per alive-at-entry lane + 1 shadow cast per
+            # NEE candidate (folded-MIS: the extension ray IS the BSDF-side
+            # MIS sample, so no third cast)
+            out["nrays"] = (state["nrays"]
+                            + jnp.sum(state["alive"].astype(jnp.float32))
+                            + jnp.sum((alive & has_ns & can).astype(jnp.float32)))
+        return out
 
     return bounce
 
@@ -514,14 +518,24 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     as the NEE BSDF-side MIS sample — emission found by the extension ray is
     weighted by PowerHeuristic(bsdf_pdf, light_pdf) instead of spawning the
     reference's third per-bounce ray (core/Integrator.cpp:159-207).  Same
-    expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce.
+    expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce."""
+    return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
+                       _make_fast_bounce)
+
+
+def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
+                make_bounce):
+    """Shared bounce-loop runner for both estimators.
 
     With cfg.compact_tail: Russian roulette (PathIntegrator.cpp:198-204)
     leaves only a few percent of lanes alive past bounce 4 (measured 2.1%
     on the Cornell bench), so the full-width loop wastes ~45% of its work
     on dead lanes.  Survivors are compacted into an n//compact_frac buffer
     after bounce `compact_from` and the tail bounces run at that width;
-    radiance is scattered back at the end."""
+    radiance is scattered back at the end.
+
+    Returns (N,3) radiance, or ((N,3), n_rays) when cfg.count_rays (n_rays
+    = useful scene casts: lanes actually tracing, not dispatch width)."""
     n = o.shape[0]
     n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
     do_compact = (cfg.compact_tail and cfg.compact_from <= cfg.max_depth
@@ -560,9 +574,13 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         prev_pdf=jnp.ones((n,), jnp.float32),
         prev_p=o,
     )
-    bounce = _make_fast_bounce(scene, cfg, get_ub, n)
+    if cfg.count_rays:
+        state["nrays"] = jnp.zeros((), jnp.float32)
+    bounce = make_bounce(scene, cfg, get_ub, n)
     if not do_compact:
         state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+        if cfg.count_rays:
+            return state["L"], state["nrays"]
         return state["L"]
 
     b1 = cfg.compact_from
@@ -600,6 +618,8 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         prev_pdf=state["prev_pdf"][src],
         prev_p=state["prev_p"][src],
     )
+    if cfg.count_rays:
+        state2["nrays"] = jnp.zeros((), jnp.float32)
     if inloop:
         get_ub2 = make_get_ub(pixel[src], sample[src])
     else:
@@ -610,10 +630,13 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
                 U2, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
                 (m, DIMS_PER_BOUNCE))
 
-    bounce2 = _make_fast_bounce(scene, cfg, get_ub2, m)
+    bounce2 = make_bounce(scene, cfg, get_ub2, m)
     state2 = jax.lax.fori_loop(b1, cfg.max_depth + 1, bounce2, state2)
-    return state["L"].at[src].add(
+    L = state["L"].at[src].add(
         jnp.where(valid[..., None], state2["L"], 0.0))
+    if cfg.count_rays:
+        return L, state["nrays"] + state2["nrays"]
+    return L
 
 
 # ---------------------------------------------------------------------------
@@ -632,10 +655,14 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
         cfg.filter_radius, cfg.filter_alpha)
     o, d, _t = cam_mod.generate_rays(camera, p_film, time_u, p_lens)
     tracer = trace_paths_fast if cfg.fast_mis else trace_paths
-    L = tracer(scene, cfg, sampler, pixel, sample, o, d)
+    out = tracer(scene, cfg, sampler, pixel, sample, o, d)
+    L, nrays = out if cfg.count_rays else (out, None)
     # box filter: each sample belongs to its own pixel -> segment sum by
     # reshape (samples are pixel-major tiles)
-    return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+    img = jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+    if cfg.count_rays:
+        return img, nrays
+    return img
 
 
 _render_chunk_jit = jax.jit(

@@ -71,23 +71,27 @@ def pack_bvh_for_pallas(bvh):
     soa = np.asarray(bvh.leaf_soa, np.float32)
     nn = len(off)
 
-    col6 = np.where(npr > 0, -(off + 1), off).astype(np.int32)
+    # Mosaic has no scalar bitcast (tpu.bitcast wants vectors), so int
+    # metadata lives in its own i32 tables instead of f32-punned columns.
     nodes = np.zeros((nn, 8), np.float32)
     nodes[:, 0:3] = lo
     nodes[:, 3:6] = hi
-    nodes[:, 6] = col6.view(np.float32)
-    nodes[:, 7] = miss.view(np.float32)
+    meta = np.zeros((nn, 2), np.int32)
+    meta[:, 0] = np.where(npr > 0, -(off + 1), off)  # leaf: -(prim_start+1)
+    meta[:, 1] = miss
 
     tp = len(prim)
     leafs = np.zeros((tp, 16), np.float32)
     leafs[:, 0:9] = soa
-    leafs[:, 9] = prim.view(np.float32)
+    tid = np.zeros((tp, 2), np.int32)
+    tid[:, 0] = prim
 
-    return jnp.asarray(nodes), jnp.asarray(leafs)
+    return (jnp.asarray(nodes), jnp.asarray(meta),
+            jnp.asarray(leafs), jnp.asarray(tid))
 
 
-def _kernel(nodes_ref, leafs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-            t_out, tri_out, u_out, v_out):
+def _kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz, dx, dy, dz,
+            tmax_ref, t_out, tri_out, u_out, v_out):
     """One grid program: BLOCK rays (as (SUB, LANE) tiles) walk the tree."""
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -111,8 +115,8 @@ def _kernel(nodes_ref, leafs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
         row = nodes_ref[cursor, :]                  # (8,) scalar row read
         lo_x, lo_y, lo_z = row[0], row[1], row[2]
         hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = jax.lax.bitcast_convert_type(row[6], jnp.int32)
-        miss = jax.lax.bitcast_convert_type(row[7], jnp.int32)
+        col6 = meta_ref[cursor, 0]
+        miss = meta_ref[cursor, 1]
 
         # vector slab test, scalar bounds broadcast over the ray block
         tx0 = (lo_x - o_x) * inv_x
@@ -139,7 +143,7 @@ def _kernel(nodes_ref, leafs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
             def leaf_iter(k, inner):
                 t_best, tri_b, u_b, v_b = inner
                 lr = leafs_ref[start + k, :]
-                tid = jax.lax.bitcast_convert_type(lr[9], jnp.int32)
+                tid = tid_ref[start + k, 0]
                 p0x, p0y, p0z = lr[0], lr[1], lr[2]
                 p1x, p1y, p1z = lr[3], lr[4], lr[5]
                 p2x, p2y, p2z = lr[6], lr[7], lr[8]
@@ -188,7 +192,7 @@ def _kernel(nodes_ref, leafs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def packet_closest_hit(nodes, leafs, o, d, t_max, *, interpret=True):
+def packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max, *, interpret=True):
     """Closest hit for N rays via packet traversal.  N padded to BLOCK.
 
     Returns (t, tri, u, v): t == t_max & tri == -1 where no hit.
@@ -220,7 +224,7 @@ def packet_closest_hit(nodes, leafs, o, d, t_max, *, interpret=True):
     t, tri, u, v = pl.pallas_call(
         _kernel,
         grid=(nb,),
-        in_specs=[table_spec, table_spec] + [ray_spec] * 7,
+        in_specs=[table_spec] * 4 + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
@@ -229,7 +233,7 @@ def packet_closest_hit(nodes, leafs, o, d, t_max, *, interpret=True):
             jax.ShapeDtypeStruct(shape2, jnp.float32),
         ],
         interpret=interpret,
-    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tm)
+    )(nodes, meta, leafs, tid, ox, oy, oz, dx, dy, dz, tm)
 
     return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
             u.reshape(-1)[:n], v.reshape(-1)[:n])
@@ -239,8 +243,8 @@ def packet_closest_hit_trihit(bvh, o, d, t_max, *, interpret=True):
     """Adapter returning ops/intersect.TriHit (like bvh_closest_hit)."""
     from .intersect import TriHit
 
-    nodes, leafs = pack_bvh_for_pallas(bvh)
-    t, tri, u, v = packet_closest_hit(nodes, leafs, o, d, t_max,
+    nodes, meta, leafs, tid = pack_bvh_for_pallas(bvh)
+    t, tri, u, v = packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max,
                                       interpret=interpret)
     hit = tri >= 0
     b = jnp.stack([1.0 - u - v, u, v], axis=-1)
