@@ -81,6 +81,10 @@ class RenderCfg(NamedTuple):
     # Replaces the reference's absent ray accounting and bench.py's old
     # estimate; one scalar reduce per cast per bounce.
     count_rays: bool = False
+    # instancing (scene.instanced, ops/instancing.py): instance count and
+    # base-mesh triangle count; hit.prim encodes inst * n_inst_tris + tri
+    n_inst: int = 0
+    n_inst_tris: int = 0
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -130,6 +134,10 @@ def make_config(scene, width, height, spp, **kw):
         has_textures=scene.textures is not None,
         has_bump=bool(scene.textures is not None
                       and (np.asarray(scene.materials.bump_tex) >= 0).any()),
+        n_inst=(0 if scene.instanced is None
+                else int(scene.instanced.obj_to_world.shape[0])),
+        n_inst_tris=(0 if scene.instanced is None
+                     else int(scene.instanced.tris.shape[0])),
         **kw,
     )
 

@@ -82,9 +82,11 @@ class InstanceHit(NamedTuple):
 
 
 def instanced_closest_hit(verts, tris, table: InstanceTable, o, d, t_max,
-                          time=None):
+                          time=None, bvh=None):
     """Closest hit over all instances of the base mesh (the wavefront
-    equivalent of TransformedPrimitive::Intersect, Primitive.cpp:80-97)."""
+    equivalent of TransformedPrimitive::Intersect, Primitive.cpp:80-97).
+    With `bvh` (built over the base mesh) each instance walk uses packet
+    traversal instead of brute force."""
     n = o.shape[0]
     n_inst = table.obj_to_world.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
@@ -98,7 +100,11 @@ def instanced_closest_hit(verts, tris, table: InstanceTable, o, d, t_max,
             oo, do = _xform_ray(w2o, o, d)
         else:
             oo, do = _xform_ray(table.world_to_obj[i], o, d)
-        th = intersect.closest_triangle_hit(oo, do, t_best, verts, tris)
+        if bvh is not None:
+            from .bvh import packet_closest_hit_xla
+            th = packet_closest_hit_xla(bvh, oo, do, t_best)
+        else:
+            th = intersect.closest_triangle_hit(oo, do, t_best, verts, tris)
         better = th.hit & (th.t < t_best)
         t_best = jnp.where(better, th.t, t_best)
         hit = hit | better
@@ -110,7 +116,7 @@ def instanced_closest_hit(verts, tris, table: InstanceTable, o, d, t_max,
 
 
 def instanced_any_hit(verts, tris, table: InstanceTable, o, d, t_max,
-                      time=None):
+                      time=None, bvh=None):
     """Occlusion query over all instances (TransformedPrimitive IntersectP)."""
     n = o.shape[0]
     occ = jnp.zeros((n,), bool)
@@ -120,7 +126,11 @@ def instanced_any_hit(verts, tris, table: InstanceTable, o, d, t_max,
             oo, do = _xform_ray(w2o, o, d)
         else:
             oo, do = _xform_ray(table.world_to_obj[i], o, d)
-        occ = occ | intersect.any_triangle_hit(oo, do, t_max, verts, tris)
+        if bvh is not None:
+            from .bvh import packet_any_hit_xla
+            occ = occ | packet_any_hit_xla(bvh, oo, do, t_max)
+        else:
+            occ = occ | intersect.any_triangle_hit(oo, do, t_max, verts, tris)
     return occ
 
 

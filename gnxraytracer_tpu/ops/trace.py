@@ -20,6 +20,7 @@ from . import intersect
 PRIM_NONE = -1
 PRIM_TRI = 0
 PRIM_SPH = 1
+PRIM_INST = 2  # instanced base-mesh triangle; prim = inst * n_inst_tris + tri
 
 
 class Hit(NamedTuple):
@@ -101,6 +102,20 @@ def scene_intersect(scene, cfg, o, d, t_max):
         kind = jnp.where(better, PRIM_SPH, kind)
         prim = jnp.where(better, sh.sph, prim)
 
+    if getattr(cfg, "n_inst", 0) > 0:
+        from . import instancing
+
+        ig = scene.instanced
+        table = instancing.InstanceTable(ig.obj_to_world, ig.world_to_obj)
+        ih = instancing.instanced_closest_hit(ig.verts, ig.tris, table, o, d,
+                                              t_best, bvh=ig.bvh)
+        better = ih.hit & (ih.t < t_best)
+        t_best = jnp.where(better, ih.t, t_best)
+        hit = hit | better
+        kind = jnp.where(better, PRIM_INST, kind)
+        prim = jnp.where(better, ih.inst * cfg.n_inst_tris + ih.tri, prim)
+        bary = jnp.where(better[..., None], ih.b, bary)
+
     return Hit(hit, jnp.where(hit, t_best, INFINITY), kind, prim, bary)
 
 
@@ -135,6 +150,13 @@ def scene_occluded(scene, cfg, o, d, t_max):
         ok, _ = intersect.ray_spheres(o, d, t_max, scene.geom.sph_center,
                                       scene.geom.sph_radius)
         occ = occ | jnp.any(ok, axis=-1)
+    if getattr(cfg, "n_inst", 0) > 0:
+        from . import instancing
+
+        ig = scene.instanced
+        table = instancing.InstanceTable(ig.obj_to_world, ig.world_to_obj)
+        occ = occ | instancing.instanced_any_hit(ig.verts, ig.tris, table,
+                                                 o, d, t_max, bvh=ig.bvh)
     return occ
 
 
@@ -290,9 +312,83 @@ def _interaction_from_attrs(scene, cfg, o, d, hit: Hit, attrs):
                                light_tri)
 
 
+def _instanced_intermediates(scene, cfg, hit: Hit):
+    """Triangle interaction intermediates for instance-hit lanes: the base
+    triangle's vertices/normals are transformed to world per lane (gathering
+    the (I,4,4) tables), then the standard world-space triangle formulas
+    apply — bit-equivalent to intersecting a flattened copy, which is the
+    semantics of TransformedPrimitive::Intersect's interaction transform-back
+    (core/Primitive.cpp:95)."""
+    ig = scene.instanced
+    is_inst = hit.kind == PRIM_INST
+    code = jnp.where(is_inst, hit.prim, 0)
+    inst = code // cfg.n_inst_tris
+    tidx = code % cfg.n_inst_tris
+    m = ig.obj_to_world[inst]        # (N,4,4)
+    w2o = ig.world_to_obj[inst]
+    tv = ig.tris[tidx]
+
+    def to_world_p(p):
+        return jnp.einsum("nij,nj->ni", m[:, :3, :3], p) + m[:, :3, 3]
+
+    p0 = to_world_p(ig.verts[tv[:, 0]])
+    p1 = to_world_p(ig.verts[tv[:, 1]])
+    p2 = to_world_p(ig.verts[tv[:, 2]])
+    b = hit.b
+    p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + b[:, 2:3] * p2
+    p_err = gamma(7) * (
+        jnp.abs(b[:, 0:1] * p0) + jnp.abs(b[:, 1:2] * p1) + jnp.abs(b[:, 2:3] * p2)
+    )
+    ng = normalize(cross(p0 - p2, p1 - p2))
+    dpdu = p1 - p0
+    if ig.uvs is not None:
+        uv0, uv1, uv2 = ig.uvs[tv[:, 0]], ig.uvs[tv[:, 1]], ig.uvs[tv[:, 2]]
+        duv02 = uv0 - uv2
+        duv12 = uv1 - uv2
+        det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        dpdu_uv = (duv12[:, 1:2] * (p0 - p2) - duv02[:, 1:2] * (p1 - p2)) * inv[:, None]
+        dpdu = jnp.where((jnp.abs(det) > 1e-12)[:, None], dpdu_uv, dpdu)
+        uv = b[:, 0:1] * uv0 + b[:, 1:2] * uv1 + b[:, 2:3] * uv2
+    else:
+        uv = jnp.stack([b[:, 1] + b[:, 2], b[:, 2]], axis=-1)
+    if ig.normals is not None:
+        # normals through the inverse-transpose (Primitive.cpp:95 semantics)
+        def to_world_n(nv):
+            return jnp.einsum("nji,nj->ni", w2o[:, :3, :3], nv)
+
+        ns = normalize(
+            b[:, 0:1] * to_world_n(ig.normals[tv[:, 0]])
+            + b[:, 1:2] * to_world_n(ig.normals[tv[:, 1]])
+            + b[:, 2:3] * to_world_n(ig.normals[tv[:, 2]]), eps=1e-20)
+        degen = jnp.sum(ns * ns, axis=-1) < 0.5
+        ns = jnp.where(degen[:, None], ng, ns)
+        ng = face_forward(ng, ns)
+    else:
+        ns = ng
+    over = ig.inst_mat[inst]
+    mat = jnp.where(over >= 0, over, ig.tri_mat[tidx])
+    light = jnp.full_like(mat, -1)  # instances carry no area light (like the
+    # reference, where TransformedPrimitive::GetAreaLight is never an emitter)
+    return p, p_err, ng, ns, dpdu, uv, mat, light
+
+
 def _finish_interaction(scene, cfg, o, d, hit, p_tri, p_err_tri, ng_tri,
                         ns_tri, dpdu_tri, uv_tri, mat_tri, light_tri):
     g = scene.geom
+    if getattr(cfg, "n_inst", 0) > 0:
+        (p_i, pe_i, ng_i, ns_i, dpdu_i, uv_i, mat_i,
+         light_i) = _instanced_intermediates(scene, cfg, hit)
+        im = (hit.kind == PRIM_INST)
+        imc = im[:, None]
+        p_tri = jnp.where(imc, p_i, p_tri)
+        p_err_tri = jnp.where(imc, pe_i, p_err_tri)
+        ng_tri = jnp.where(imc, ng_i, ng_tri)
+        ns_tri = jnp.where(imc, ns_i, ns_tri)
+        dpdu_tri = jnp.where(imc, dpdu_i, dpdu_tri)
+        uv_tri = jnp.where(imc, uv_i, uv_tri)
+        mat_tri = jnp.where(im, mat_i, mat_tri)
+        light_tri = jnp.where(im, light_i, light_tri)
     if cfg.n_sphs > 0:
         is_sph = hit.kind == PRIM_SPH
         sph_idx = jnp.where(is_sph, hit.prim, 0)

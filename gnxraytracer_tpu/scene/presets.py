@@ -251,6 +251,41 @@ def _box_mesh(lo, hi):
     return v, f
 
 
+def cornell_instanced(width=128, height=128, flatten=False, n_inst=3,
+                      bvh=False):
+    """Cornell box + n instanced copies of one box mesh (rotated / scaled /
+    translated) — the renderable TransformedPrimitive scene the reference
+    supports structurally (core/Primitive.cpp:80-101) but never builds.
+
+    flatten=True bakes each instance into the main triangle buffer instead
+    (identical geometry through add_mesh pre-transform), so tests can assert
+    the instanced render equals the flattened one through the full
+    integrator stack.
+    """
+    b = SceneBuilder()
+    mats = reference_materials(b)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    v, f = _box_mesh((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5))
+    xforms = []
+    for i in range(n_inst):
+        s = 0.8 + 0.3 * i
+        m = _rot_y(25.0 * (i + 1)) @ np.diag([s, s * 1.2, s, 1.0])
+        m = _translate([-1.5 + 1.5 * i, -2.9 + 0.6 * s, -0.5 + 0.4 * i]) @ m
+        xforms.append(m.astype(np.float32))
+    if flatten:
+        for m in xforms:
+            b.add_mesh(v, f, mats["white"], transform=m)
+        scene = b.build(bvh=bvh)
+    else:
+        b.add_instances(v, f, np.stack(xforms), material=mats["white"],
+                        bvh=bvh)
+        scene = b.build(bvh=bvh)
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0))
+    return scene, cam
+
+
 def sphere_point_light(width=64, height=64):
     """BASELINE config 1: single matte sphere + PointLight."""
     b = SceneBuilder()

@@ -52,6 +52,25 @@ class Geometry(NamedTuple):
     sph_medium: jnp.ndarray      # (S,2) i32 [inside, outside]
 
 
+class InstancedGeom(NamedTuple):
+    """Instanced base mesh + transform table — the flat-table equivalent of
+    the reference's TransformedPrimitive (core/Primitive.h:55,
+    core/Primitive.cpp:80-101): one shared object-space mesh, I rows of
+    object<->world matrices.  Intersection runs in object space (direction
+    unnormalized so t stays world-parameterized, exactly the reference's
+    `r.tMax` narrowing); interaction math transforms the hit triangle's
+    vertices/normals back to world (Primitive.cpp:95)."""
+    verts: jnp.ndarray          # (V,3) f32 object space
+    tris: jnp.ndarray           # (T,3) i32
+    normals: Optional[jnp.ndarray]   # (V,3) object-space shading normals
+    uvs: Optional[jnp.ndarray]       # (V,2)
+    tri_mat: jnp.ndarray        # (T,) i32 base material per triangle
+    obj_to_world: jnp.ndarray   # (I,4,4)
+    world_to_obj: jnp.ndarray   # (I,4,4)
+    inst_mat: jnp.ndarray       # (I,) i32 per-instance material override, -1
+    bvh: Optional[tuple]        # BVH over the base mesh or None
+
+
 class MediumTable(NamedTuple):
     """Participating media (core/Medium.h, media/*.cpp).  kind 0 =
     homogeneous; kind 1 = grid density (one shared grid per scene)."""
@@ -134,6 +153,7 @@ class Scene(NamedTuple):
     world_radius: jnp.ndarray  # ()
     bvh: Optional[tuple]  # BVH arrays (ops/bvh.py) or None -> brute force
     light_dist: Optional[tuple] = None  # spatial light distribution grid
+    instanced: Optional[InstancedGeom] = None  # TransformedPrimitive table
 
     @property
     def n_lights(self):
@@ -170,6 +190,7 @@ class SceneBuilder:
         self.media = []  # dicts
         self.textures = []  # host images for the mip atlas
         self.env = None
+        self.instanced = None
         self.camera_medium = -1
         self._vtx_count = 0
         self._has_normals = False
@@ -279,6 +300,36 @@ class SceneBuilder:
         self._vtx_count += len(v)
         first_tri = sum(len(t) for t in self.triangles[:-1])
         return first_tri, n  # triangle id range
+
+    def add_instances(self, vertices, triangles, transforms, material=-1,
+                      normals=None, uvs=None, per_instance_material=None,
+                      bvh=False):
+        """Instanced copies of one base mesh (TransformedPrimitive,
+        core/Primitive.cpp:80-101).  `transforms` is (I,4,4) object-to-world
+        matrices; `material` is the base material id stamped on every
+        triangle (or an array of per-triangle ids);
+        `per_instance_material` optionally overrides the material per
+        instance (-1 rows fall back to the base).  One instanced mesh per
+        scene (matches the reference, which only ever instances one model).
+        """
+        if self.instanced is not None:
+            raise ValueError("one instanced mesh per scene")
+        v = np.asarray(vertices, np.float32)
+        t = np.asarray(triangles, np.int32).reshape(-1, 3)
+        m = np.asarray(transforms, np.float64).reshape(-1, 4, 4)
+        tri_mat = (np.full(len(t), material, np.int32)
+                   if np.ndim(material) == 0
+                   else np.asarray(material, np.int32))
+        inst_mat = (np.full(len(m), -1, np.int32)
+                    if per_instance_material is None
+                    else np.asarray(per_instance_material, np.int32))
+        nr = None if normals is None else np.asarray(normals, np.float32)
+        uv = None if uvs is None else np.asarray(uvs, np.float32)
+        self.instanced = dict(verts=v, tris=t, normals=nr, uvs=uv,
+                              tri_mat=tri_mat, o2w=m.astype(np.float32),
+                              w2o=np.linalg.inv(m).astype(np.float32),
+                              inst_mat=inst_mat, bvh=bvh)
+        return len(m)
 
     def add_sphere(self, center, radius, material, light=-1, medium=(-1, -1)):
         self.sph.append((np.asarray(center, np.float32), float(radius),
@@ -448,10 +499,34 @@ class SceneBuilder:
                 inv_max_density=jnp.asarray(inv_max, jnp.float32),
             )
 
+        instanced = None
+        if self.instanced is not None:
+            ig = self.instanced
+            ig_bvh = None
+            if ig["bvh"]:
+                from ..ops.bvh import build_bvh
+                ig_bvh = build_bvh(ig["verts"], ig["tris"])
+            instanced = InstancedGeom(
+                verts=jnp.asarray(ig["verts"]), tris=jnp.asarray(ig["tris"]),
+                normals=None if ig["normals"] is None else jnp.asarray(ig["normals"]),
+                uvs=None if ig["uvs"] is None else jnp.asarray(ig["uvs"]),
+                tri_mat=jnp.asarray(ig["tri_mat"]),
+                obj_to_world=jnp.asarray(ig["o2w"]),
+                world_to_obj=jnp.asarray(ig["w2o"]),
+                inst_mat=jnp.asarray(ig["inst_mat"]),
+                bvh=ig_bvh,
+            )
+
         # world bounds -> bounding sphere (Scene ctor caches worldBound)
         pts = [verts] if len(verts) else []
         if len(sc):
             pts += [sc - sr[:, None], sc + sr[:, None]]
+        if self.instanced is not None:
+            ig = self.instanced
+            vh = np.concatenate([ig["verts"], np.ones((len(ig["verts"]), 1),
+                                                      np.float32)], 1)
+            for m in ig["o2w"]:
+                pts.append((vh @ m.T)[:, :3])
         allp = np.concatenate(pts, 0) if pts else np.zeros((1, 3), np.float32)
         lo, hi = allp.min(0), allp.max(0)
         center = (lo + hi) / 2
@@ -469,4 +544,5 @@ class SceneBuilder:
             world_radius=jnp.asarray(max(radius, 1e-3), jnp.float32),
             bvh=bvh_arrays,
             light_dist=None,
+            instanced=instanced,
         )

@@ -137,3 +137,47 @@ class TestInstancedIntersect:
                                         at, o, d, tmax,
                                         time=jnp.full((n,), 0.5))
         assert list(np.asarray(hm.hit)) == [False, True, False]
+
+
+class TestInstancedRender:
+    """VERDICT r1 item 5: instancing must be reachable from SceneBuilder and
+    render identically to the flattened equivalent through the full path
+    integrator (image-level lift of the op tests above)."""
+
+    def _render(self, flatten, w=48, h=48, spp=8):
+        from gnxraytracer_tpu.models.integrators import path
+        from gnxraytracer_tpu.ops import samplers
+        from gnxraytracer_tpu.scene import presets
+
+        scene, cam = presets.cornell_instanced(w, h, flatten=flatten)
+        cfg = path.make_config(scene, w, h, spp=spp, max_depth=4,
+                               spp_chunk=spp)
+        s = samplers.make_halton_sampler(spp, w, h)
+        return np.asarray(path.render(scene, cam, s, cfg))
+
+    def test_instanced_matches_flattened(self):
+        inst_img = self._render(flatten=False)
+        flat_img = self._render(flatten=True)
+        assert np.isfinite(inst_img).all()
+        # identical sample streams; the only difference is object-space vs
+        # world-space intersection floats, which can flip rare edge lanes.
+        diff = np.abs(inst_img - flat_img)
+        frac_off = (diff.max(axis=-1) > 1e-3).mean()
+        assert frac_off < 0.01, f"{frac_off:.4f} of pixels differ"
+        np.testing.assert_allclose(inst_img.mean(), flat_img.mean(), rtol=5e-3)
+
+    def test_instanced_visible(self):
+        img = self._render(flatten=False)
+        base_scene_img = None
+        from gnxraytracer_tpu.models.integrators import path
+        from gnxraytracer_tpu.ops import samplers
+        from gnxraytracer_tpu.scene import presets
+
+        scene, cam = presets.cornell_instanced(48, 48, flatten=False, n_inst=3)
+        # drop the instances: render plain cornell for contrast
+        scene0, _ = presets.cornell_box(width=48, height=48)
+        cfg0 = path.make_config(scene0, 48, 48, spp=8, max_depth=4, spp_chunk=8)
+        s = samplers.make_halton_sampler(8, 48, 48)
+        base_scene_img = np.asarray(path.render(scene0, cam, s, cfg0))
+        # the instanced boxes occlude floor light -> images must differ a lot
+        assert np.abs(img - base_scene_img).mean() > 0.01
