@@ -101,7 +101,53 @@ def main():
         "rays_per_path": round(n_rays / n_paths, 2),
         "device": str(jax.devices()[0]),
     }
+
+    # ---- BASELINE config 4: dragon-scale mesh + ImageTexture + HDR env +
+    # Sobol (VERDICT r1 item 3: the BVH-exercising workload) ---------------
+    try:
+        result.update(bench_mesh())
+    except Exception as e:  # never lose the cornell line to a mesh failure
+        result["mesh_error"] = repr(e)[:200]
     print(json.dumps(result))
+
+
+def bench_mesh(width=500, height=500, spp=64, max_depth=8):
+    from gnxraytracer_tpu.models.integrators import path
+    from gnxraytracer_tpu.ops import samplers
+    from gnxraytracer_tpu.scene import presets
+
+    import numpy as np
+
+    scene, camera = presets.envmap_mesh(width, height)  # ~105k tris
+    n_tris = int(scene.geom.triangles.shape[0])
+    spp_chunk = 4
+    cfg = path.make_config(scene, width, height, spp=spp,
+                           max_depth=max_depth, spp_chunk=spp_chunk,
+                           rr_threshold=1.0, fast_mis=True, compact_tail=True,
+                           count_rays=True)
+    sampler = samplers.make_sobol_sampler(spp)
+    img, _ = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
+    np.asarray(img[:1])
+    t0 = time.time()
+    acc = jnp.zeros((width * height, 3), jnp.float32)
+    nrays = jnp.zeros((), jnp.float32)
+    s = 0
+    while s < spp:
+        img, nr = path._render_chunk_jit(scene, camera, sampler, cfg, s,
+                                         spp_chunk)
+        acc = acc + img
+        nrays = nrays + nr
+        s += spp_chunk
+    np.asarray(acc[:1])
+    wall = time.time() - t0
+    n_paths = width * height * spp
+    return {
+        "mesh_tris": n_tris,
+        "mesh_bvh_mode": cfg.bvh_mode,
+        "mesh_Mpaths_per_s": round(n_paths / wall / 1e6, 3),
+        "mesh_wall_s_64spp": round(wall, 2),
+        "mesh_Mrays_per_s": round(float(nrays) / wall / 1e6, 1),
+    }
 
 
 if __name__ == "__main__":

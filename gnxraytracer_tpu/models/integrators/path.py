@@ -85,6 +85,12 @@ class RenderCfg(NamedTuple):
     # base-mesh triangle count; hit.prim encodes inst * n_inst_tris + tri
     n_inst: int = 0
     n_inst_tris: int = 0
+    # MIPMap filtering for camera-ray texture lookups (bounce 0, where the
+    # reference's RayDifferential footprint is valid — spawned rays have
+    # hasDifferentials=false and fall back to point samples, exactly as the
+    # reference does): "bilinear" | "trilinear" | "ewa"
+    # (MIPMap::Lookup, core/MIPMap.h:226,259)
+    texture_filter: str = "ewa"
 
     # -- derived static predicates (python-level, trace-time) -------------
     @property
@@ -124,6 +130,18 @@ def make_config(scene, width, height, spp, **kw):
     # watchdog at large N x deep trees). Override with use_bvh in kw.
     kw.setdefault("use_bvh", scene.bvh is not None
                   and int(scene.geom.triangles.shape[0]) > 32768)
+    if kw.get("use_bvh") and "bvh_mode" not in kw:
+        # Pallas packet kernel on real TPU (5.5x the XLA packet walk on
+        # coherent rays, measured v5e); XLA packet elsewhere (interpret-mode
+        # Pallas is orders of magnitude too slow for production on CPU) or
+        # when the packed tables would overflow VMEM.
+        import jax as _jax
+
+        from ...ops.pallas_bvh import PALLAS_MAX_TRIS
+
+        on_tpu = _jax.devices()[0].platform in ("tpu", "axon")
+        if on_tpu and int(scene.geom.triangles.shape[0]) <= PALLAS_MAX_TRIS:
+            kw["bvh_mode"] = "pallas"
     return RenderCfg(
         width=width, height=height, spp=spp,
         mat_kinds=mat_kinds, light_kinds=light_kinds,
@@ -261,7 +279,22 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
 # The bounce loop
 # ---------------------------------------------------------------------------
 
-def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n):
+def _resolve_kd_hit(scene, cfg, hit, it, rd):
+    """Per-hit base color; with camera differentials (rd, bounce 0 only)
+    the uv footprint feeds the filtered MIPMap lookup — the wiring of
+    ComputeDifferentials (core/Interaction.cpp:65) into
+    ImageTexture::Evaluate that the reference does per camera ray."""
+    if not cfg.has_textures:
+        return None
+    if rd is None or cfg.texture_filter == "bilinear":
+        return mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
+    dpdu, dpdv = trace.triangle_dpduv(scene, hit)
+    duvdx, duvdy = trace.compute_differentials(it.p, it.ns, dpdu, dpdv, rd)
+    return mat_mod.resolve_kd(scene, cfg, it.mat, it.uv,
+                              duv=(duvdx, duvdy))
+
+
+def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
     """Per-bounce body of the reference-faithful estimator (3 scene casts
     per bounce: closest hit + NEE shadow + NEE BSDF-side re-intersection,
     exactly EstimateDirect's structure, core/Integrator.cpp:93-210).
@@ -299,8 +332,7 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n):
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = (mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
-                 if cfg.has_textures else None)
+        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd)
         ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
                              kd_ov)
         nee_ok = alive & has_ns
@@ -362,11 +394,11 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n):
     return bounce
 
 
-def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d, rd=None):
     """Reference-faithful wavefront path tracing (3 casts/bounce).
     Returns (N,3) radiance, or ((N,3), n_rays) when cfg.count_rays."""
     return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
-                       _make_faithful_bounce)
+                       _make_faithful_bounce, rd=rd)
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +419,7 @@ def _hit_light_select_pdf(scene, cfg, light_idx):
     return jnp.full(light_idx.shape, 1.0 / nl, jnp.float32)
 
 
-def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
+def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
     """Build the per-bounce body of the fast-MIS loop.  get_ub(b) returns
     the (n, DIMS_PER_BOUNCE) sample dims for bounce b — either a slice of a
     precomputed matrix (halton) or computed in-loop (sobol/random)."""
@@ -454,8 +486,7 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         light_idx, light_pdf_sel = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = (mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
-                 if cfg.has_textures else None)
+        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd)
         ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
         wi_local = trace.to_local(it, ls.wi)
         f_l, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local,
@@ -521,18 +552,19 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n):
     return bounce
 
 
-def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
+                     rd=None):
     """Path tracing with the folded-MIS estimator: the extension ray doubles
     as the NEE BSDF-side MIS sample — emission found by the extension ray is
     weighted by PowerHeuristic(bsdf_pdf, light_pdf) instead of spawning the
     reference's third per-bounce ray (core/Integrator.cpp:159-207).  Same
     expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce."""
     return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
-                       _make_fast_bounce)
+                       _make_fast_bounce, rd=rd)
 
 
 def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
-                make_bounce):
+                make_bounce, rd=None):
     """Shared bounce-loop runner for both estimators.
 
     With cfg.compact_tail: Russian roulette (PathIntegrator.cpp:198-204)
@@ -585,14 +617,23 @@ def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
     if cfg.count_rays:
         state["nrays"] = jnp.zeros((), jnp.float32)
     bounce = make_bounce(scene, cfg, get_ub, n)
+    # bounce 0 peeled out when camera differentials drive a filtered texture
+    # lookup (only camera rays carry a valid footprint — spawned rays have
+    # hasDifferentials=false in the reference and fall back to bilinear)
+    peel0 = (rd is not None and cfg.has_textures
+             and cfg.texture_filter != "bilinear")
+    if peel0:
+        bounce0 = make_bounce(scene, cfg, get_ub, n, rd=rd)
+        state = bounce0(jnp.int32(0), state)
+    b_start = 1 if peel0 else 0
     if not do_compact:
-        state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+        state = jax.lax.fori_loop(b_start, cfg.max_depth + 1, bounce, state)
         if cfg.count_rays:
             return state["L"], state["nrays"]
         return state["L"]
 
     b1 = cfg.compact_from
-    state = jax.lax.fori_loop(0, b1, bounce, state)
+    state = jax.lax.fori_loop(b_start, b1, bounce, state)
 
     # --- compact survivors into an m-wide tail buffer -----------------------
     m = n // cfg.compact_frac
@@ -661,9 +702,16 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
     p_film, time_u, p_lens = samplers.camera_sample(
         sampler, pixel, sample, cfg.width, cfg.pixel_filter,
         cfg.filter_radius, cfg.filter_alpha)
-    o, d, _t = cam_mod.generate_rays(camera, p_film, time_u, p_lens)
+    rd = None
+    if cfg.has_textures and cfg.texture_filter != "bilinear":
+        o, d, _t, rd = cam_mod.generate_ray_differentials(
+            camera, p_film, time_u, p_lens)
+        # ScaleDifferentials(1/sqrt(spp)) (core/Integrator.cpp render loop)
+        rd = cam_mod.scale_differentials(o, d, rd, 1.0 / (cfg.spp ** 0.5))
+    else:
+        o, d, _t = cam_mod.generate_rays(camera, p_film, time_u, p_lens)
     tracer = trace_paths_fast if cfg.fast_mis else trace_paths
-    out = tracer(scene, cfg, sampler, pixel, sample, o, d)
+    out = tracer(scene, cfg, sampler, pixel, sample, o, d, rd=rd)
     L, nrays = out if cfg.count_rays else (out, None)
     # box filter: each sample belongs to its own pixel -> segment sum by
     # reshape (samples are pixel-major tiles)

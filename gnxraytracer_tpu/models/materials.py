@@ -98,21 +98,35 @@ def has_nonspecular(mats: MaterialTable, mid, cfg):
     return ns
 
 
-def resolve_kd(scene, cfg, mid, uv, mats=None):
+def resolve_kd(scene, cfg, mid, uv, mats=None, duv=None):
     """Per-hit diffuse/base color: texture lookup where kd_tex >= 0
     (Texture<T>::Evaluate, core/Texture.h:105-112), else the table color.
 
-    mats: optionally a pre-gathered per-lane table (then mid=None)."""
+    mats: optionally a pre-gathered per-lane table (then mid=None).
+    duv: optional (duvdx, duvdy) texture-space footprint from
+    ComputeDifferentials (core/Interaction.cpp:65) — selects the filtered
+    MIPMap lookup per cfg.texture_filter (MIPMap::Lookup, core/MIPMap.h:226
+    trilinear / :259 EWA) instead of level-0 bilinear."""
     if mats is None:
         mats = scene.materials
     kd = _g(mats.kd, mid)
     if not getattr(cfg, "has_textures", False) or scene.textures is None:
         return kd
-    from ..ops.texture import bilinear_lookup
+    from ..ops.texture import bilinear_lookup, ewa_lookup, trilinear_lookup
 
     atlas, offs, sizes = scene.textures
     tex_id = _g(mats.kd_tex, mid)
-    val = bilinear_lookup(atlas, offs, sizes, jnp.maximum(tex_id, 0), uv)
+    tid = jnp.maximum(tex_id, 0)
+    filt = getattr(cfg, "texture_filter", "bilinear")
+    if duv is not None and filt == "ewa":
+        val = ewa_lookup(atlas, offs, sizes, tid, uv, duv[0], duv[1])
+    elif duv is not None and filt == "trilinear":
+        # isotropic width = max footprint extent (MIPMap.h:226 call shape)
+        width = jnp.maximum(
+            jnp.max(jnp.abs(duv[0]), axis=-1), jnp.max(jnp.abs(duv[1]), axis=-1))
+        val = trilinear_lookup(atlas, offs, sizes, tid, uv, width)
+    else:
+        val = bilinear_lookup(atlas, offs, sizes, tid, uv)
     return jnp.where((tex_id >= 0)[..., None], val, kd)
 
 

@@ -116,12 +116,17 @@ def ewa_lookup(atlas, offsets, sizes, tex_id, uv, dst0, dst1,
     dl = (lod - l0i.astype(jnp.float32))[..., None]
 
     def ewa_level(level_idx):
+        """level_idx: (N,) per-lane mip level — the level params (size, row
+        offset) are gathered per lane, so the footprint scan runs ONCE for
+        all lanes instead of once per static level (the reference scans a
+        per-lookup ellipse bbox, MIPMap.h:298-324; a fixed window x window
+        scan at per-lane levels is the vectorized equivalent)."""
         s = sizes[level_idx].astype(jnp.float32)
         off = offsets[level_idx]
         si = sizes[level_idx]
-        st = uv * s - 0.5
-        e0 = d0 * s
-        e1 = d1 * s
+        st = uv * s[..., None] - 0.5
+        e0 = d0 * s[..., None]
+        e1 = d1 * s[..., None]
         a = e0[..., 1] ** 2 + e1[..., 1] ** 2 + 1.0
         b = -2.0 * (e0[..., 0] * e0[..., 1] + e1[..., 0] * e1[..., 1])
         c = e0[..., 0] ** 2 + e1[..., 0] ** 2 + 1.0
@@ -145,17 +150,11 @@ def ewa_lookup(atlas, offsets, sizes, tex_id, uv, dst0, dst1,
                 acc = acc + w[..., None] * atlas[tex_id, off + vi, ui]
                 wsum = wsum + w
         fallback = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, 0)
-        # per-lane level gather via where over static levels handled by caller
         ok = (wsum > 1e-8)[..., None]
         return jnp.where(ok, acc / jnp.maximum(wsum[..., None], 1e-8), fallback)
 
-    out0 = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
-    out1 = jnp.zeros_like(out0)
-    for l in range(n_levels):
-        val = ewa_level(l)
-        out0 = jnp.where((l0i == l)[..., None], val, out0)
-        out1 = jnp.where((jnp.minimum(l0i + 1, n_levels - 1) == l)[..., None],
-                         val, out1)
+    out0 = ewa_level(l0i)
+    out1 = ewa_level(jnp.minimum(l0i + 1, n_levels - 1))
     return (1.0 - dl) * out0 + dl * out1
 
 
@@ -169,13 +168,9 @@ def trilinear_lookup(atlas, offsets, sizes, tex_id, uv, width):
                        n_levels - 1.0)
     l0 = jnp.floor(level_f).astype(jnp.int32)
     dl = (level_f - l0.astype(jnp.float32))[..., None]
-    # two-level blend; levels are traced per-lane -> use where over levels
-    out0 = jnp.zeros((uv.shape[0], 3), jnp.float32)
-    out1 = jnp.zeros((uv.shape[0], 3), jnp.float32)
-    for l in range(n_levels):
-        m0 = (l0 == l)[..., None]
-        m1 = (jnp.minimum(l0 + 1, n_levels - 1) == l)[..., None]
-        val = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, l)
-        out0 = jnp.where(m0, val, out0)
-        out1 = jnp.where(m1, val, out1)
+    # two-level blend at per-lane levels (bilinear_lookup gathers the level
+    # size/offset per lane, so no static level unroll is needed)
+    out0 = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, l0)
+    out1 = bilinear_lookup(atlas, offsets, sizes, tex_id, uv,
+                           jnp.minimum(l0 + 1, n_levels - 1))
     return (1 - dl) * out0 + dl * out1

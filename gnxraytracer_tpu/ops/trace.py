@@ -60,7 +60,11 @@ def scene_intersect(scene, cfg, o, d, t_max):
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
                 mode = "stack"
-            if mode == "packet":
+            if mode == "pallas":
+                from .pallas_bvh import packet_closest_hit_pallas
+
+                th = packet_closest_hit_pallas(scene.bvh, o, d, t_best)
+            elif mode == "packet":
                 from .bvh import packet_closest_hit_xla
 
                 th = packet_closest_hit_xla(scene.bvh, o, d, t_best)
@@ -129,7 +133,9 @@ def scene_occluded(scene, cfg, o, d, t_max):
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
                 mode = "stack"
-            if mode == "packet":
+            if mode in ("packet", "pallas"):
+                # shadow casts use the XLA packet walk in pallas mode too
+                # (no Pallas any-hit kernel yet; early-out economics differ)
                 from .bvh import packet_any_hit_xla
 
                 occ = occ | packet_any_hit_xla(scene.bvh, o, d, t_max)

@@ -133,3 +133,33 @@ def make_test_mesh(n_subdiv=4):
     r = 1.0 + 0.12 * np.sin(6 * v[:, 0]) * np.sin(5 * v[:, 1]) * np.sin(4 * v[:, 2])
     v = v * r[:, None] * 1.2
     return v.astype(np.float32), f.astype(np.int32)
+
+
+def make_blob_mesh(n_seg=229):
+    """Displaced UV sphere with vertex normals and spherical uvs:
+    2*n_seg^2 triangles (n_seg=229 -> 104,882 ~ the reference dragon's
+    scale).  Unlike make_test_mesh, triangle count is quadratic in n_seg so
+    the bench can dial in an exact workload size."""
+    th = np.linspace(1e-3, np.pi - 1e-3, n_seg + 1)
+    ph = np.linspace(0, 2 * np.pi, n_seg + 1)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    R = 1.0 + 0.13 * np.sin(6 * T) * np.cos(7 * P) + 0.05 * np.sin(13 * P)
+    x = R * np.sin(T) * np.cos(P)
+    y = R * np.cos(T)
+    z = R * np.sin(T) * np.sin(P)
+    v = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    uv = np.stack([P / (2 * np.pi), T / np.pi], -1).reshape(-1, 2).astype(np.float32)
+    idx = np.arange((n_seg + 1) * (n_seg + 1)).reshape(n_seg + 1, n_seg + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    f = np.concatenate([np.stack([a, b, c], -1),
+                        np.stack([a, c, d], -1)]).astype(np.int32)
+    # area-weighted vertex normals
+    n = np.zeros_like(v)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    for k in range(3):
+        np.add.at(n, f[:, k], fn)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    return v, f, n.astype(np.float32), uv

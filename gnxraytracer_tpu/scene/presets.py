@@ -130,28 +130,47 @@ def cornell_glass(width=500, height=500):
     return scene, cam
 
 
-def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None):
-    """BASELINE config 4: mesh via BVH + InfiniteAreaLight HDR environment
-    (reference AddInfLight, ModelList.cpp:172-179: MonValley1000.hdr with
-    LightToWorld = RotateX(20)*RotateY(-90)*RotateX(-90))."""
+def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None,
+                mesh_tris=104_882, texture_path=None):
+    """BASELINE config 4: ~dragon-scale mesh via BVH + ImageTexture +
+    InfiniteAreaLight HDR environment (reference AddInfLight,
+    ModelList.cpp:172-179: MonValley1000.hdr with LightToWorld =
+    RotateX(20)*RotateY(-90)*RotateX(-90); texture = awesomeface.jpg, the
+    asset MaterialList.cpp's smiley-plastic uses)."""
     import os
 
     if hdr_path is None:
         hdr_path = "/root/reference/Resources/MonValley1000.hdr"
+    if texture_path is None:
+        texture_path = "/root/reference/Resources/awesomeface.jpg"
     b = SceneBuilder()
     mat = b.add_disney((0.6, 0.5, 0.45), rough_u=0.35, metallic=0.1)
-    floor_mat = b.add_matte((0.6, 0.6, 0.6), sigma=0.0)
     if mesh is None:
-        from .loaders import make_test_mesh
+        from .loaders import make_blob_mesh
 
-        mesh = make_test_mesh(5)
-    v, t = mesh
-    b.add_mesh(v, t, mat, transform=_translate([0.0, -0.5, 0.0]))
-    # ground plane
+        n_seg = max(8, int(round((mesh_tris / 2) ** 0.5)))
+        v, t, n, uv = make_blob_mesh(n_seg)
+        b.add_mesh(v, t, mat, transform=_translate([0.0, -0.5, 0.0]),
+                   normals=n, uvs=uv)
+    else:
+        v, t = mesh
+        b.add_mesh(v, t, mat, transform=_translate([0.0, -0.5, 0.0]))
+    # textured ground plane (ImageTexture through the MIPMap/EWA path)
+    if os.path.exists(texture_path):
+        from ..utils.image import load_image
+
+        tex = b.add_texture(load_image(texture_path, gamma=True))
+    else:
+        y, x = np.mgrid[0:128, 0:128]
+        tex = b.add_texture(
+            0.2 + 0.6 * np.stack([(((x // 16) + (y // 16)) % 2).astype(np.float32)] * 3, -1))
+    floor_mat = b.add_matte((1.0, 1.0, 1.0), sigma=0.0, kd_tex=tex)
     g = 6.0
     gv = np.array([[-g, -1.7, g], [g, -1.7, g], [-g, -1.7, -g],
                    [g, -1.7, g], [g, -1.7, -g], [-g, -1.7, -g]], np.float32)
-    b.add_mesh(gv, np.arange(6).reshape(2, 3), floor_mat)
+    guv = np.array([[0, 0], [4, 0], [0, 4], [4, 0], [4, 4], [0, 4]],
+                   np.float32)
+    b.add_mesh(gv, np.arange(6).reshape(2, 3), floor_mat, uvs=guv)
     if os.path.exists(hdr_path):
         from ..utils.image import load_image
 

@@ -118,3 +118,36 @@ class TestPacketBVH:
                                          jnp.full(1000, 1e30, jnp.float32))
         np.testing.assert_array_equal(np.asarray(full.hit)[:1000],
                                       np.asarray(head.hit))
+
+
+class TestPallasProductionWrapper:
+    def test_sorted_wrapper_matches_xla_packet(self):
+        """packet_closest_hit_pallas (coherence sort + kernel + unsort) must
+        agree with the XLA packet walk lane-for-lane."""
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, o, d = scene_and_rays(n_tris=120, n_rays=700, seed=7)
+        bvh = bvh_mod.build_bvh(verts, idx)
+        hp = pb.packet_closest_hit_pallas(bvh, jnp.asarray(o), jnp.asarray(d),
+                                          1e30, interpret=True)
+        hx = bvh_mod.packet_closest_hit_xla(bvh, jnp.asarray(o),
+                                            jnp.asarray(d), 1e30)
+        np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hx.hit))
+        both = np.asarray(hp.hit)
+        np.testing.assert_allclose(np.asarray(hp.t)[both],
+                                   np.asarray(hx.t)[both], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(hp.tri)[both],
+                                      np.asarray(hx.tri)[both])
+
+    def test_pack_is_traceable(self):
+        """pack_bvh_for_pallas must be jnp-traceable so production
+        scene_intersect can call it under jit."""
+        import jax
+
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, _, _ = scene_and_rays(n_tris=40)
+        bvh = bvh_mod.build_bvh(verts, idx)
+        jax.jit(pb.pack_bvh_for_pallas)(bvh)  # must not raise
