@@ -85,6 +85,11 @@ class RenderCfg(NamedTuple):
     # base-mesh triangle count; hit.prim encodes inst * n_inst_tris + tri
     n_inst: int = 0
     n_inst_tris: int = 0
+    # Nested-shell shadow transmittance (VisibilityTester::Tr boundary walk,
+    # core/Light.cpp:33-53): number of null-boundary segments the volpath
+    # shadow rays walk (0 = single-medium fast path).  Each segment costs a
+    # scene cast; 4 covers shell-in-shell nesting.
+    tr_walk_segments: int = 0
     # MIPMap filtering for camera-ray texture lookups (bounce 0, where the
     # reference's RayDifferential footprint is valid — spawned rays have
     # hasDifferentials=false and fall back to point samples, exactly as the
@@ -195,11 +200,14 @@ def _choose_light(scene, cfg, u, p=None):
 
 
 def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
-                    kd_override=None, mats_row=None):
+                    kd_override=None, mats_row=None, vis_fn=None):
     """EstimateDirect (core/Integrator.cpp:93-210) for all lanes at once.
 
     mats_row: optional pre-gathered per-lane MaterialTable (one one-hot
     matmul per bounce instead of per-column gathers — PERF.md).
+    vis_fn: optional (o, d, t_max) -> (occluded (N,), tr (N,3)) replacing
+    the binary shadow query — VolPath's handleMedia=true
+    VisibilityTester::Tr path (core/Integrator.cpp:148-155).
     Returns (N,3) direct radiance (before division by light-select pdf).
     """
     n = it.p.shape[0]
@@ -219,12 +227,18 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
     contrib_possible = (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1) & jnp.any(f_light > 0, axis=-1)
     # visibility (shadow ray) only where it can matter
     so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
-    occluded = trace.scene_occluded(scene, cfg, so, sd, st)
+    if vis_fn is not None:
+        occluded, tr_vis = vis_fn(so, sd, st)
+    else:
+        occluded = trace.scene_occluded(scene, cfg, so, sd, st)
+        tr_vis = None
     vis = contrib_possible & ~occluded
     w_l = jnp.where(
         ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf, 1.0, scat_pdf)
     )
     ld_light = f_light * ls.li * (w_l / jnp.maximum(ls.pdf, 1e-12))[..., None]
+    if tr_vis is not None:
+        ld_light = ld_light * tr_vis
     ld = ld + jnp.where(vis[..., None], ld_light, 0.0)
 
     # ---- strategy 2: sample the BSDF (non-delta lights only) --------------

@@ -48,9 +48,14 @@ def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
     dist = jnp.sqrt(jnp.maximum(jnp.sum(to_t * to_t, -1), 1e-20))
     sd = to_t / dist[:, None]
     st = jnp.where(ls.is_infinite, jnp.full_like(dist, INFINITY), dist * (1 - 1e-3))
-    occ = trace.scene_occluded(scene, cfg, p, sd, st)
-    tr = media_mod.medium_tr(scene.media, medium_id, p, sd, st, lane_key,
-                             bounce * 7 + 1, seed)
+    if cfg.tr_walk_segments > 0:
+        # full VisibilityTester::Tr boundary walk (core/Light.cpp:33-53)
+        tr, occ = media_mod.transmittance_walk(
+            scene, cfg, p, sd, st, medium_id, lane_key, bounce * 7 + 1, seed)
+    else:
+        occ = trace.scene_occluded(scene, cfg, p, sd, st)
+        tr = media_mod.medium_tr(scene.media, medium_id, p, sd, st, lane_key,
+                                 bounce * 7 + 1, seed)
     w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf, 1.0, phase_p))
     ld = (
         phase_p[..., None] * ls.li * tr
@@ -165,8 +170,21 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         from .path import estimate_direct
 
         it_safe = it._replace(mat=jnp.maximum(it.mat, 0))
-        ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light, u_scat,
-                             light_idx)
+        if cfg.tr_walk_segments > 0:
+            # surface NEE with Tr-attenuated visibility (handleMedia=true,
+            # core/Integrator.cpp:148-155): the shadow ray starts in the
+            # lane's current medium and walks null boundaries
+            def vis_fn(so, sdir, stmax):
+                trv, blk = media_mod.transmittance_walk(
+                    scene, cfg, so, sdir, stmax, state["medium"], lane_key,
+                    b * 7 + 3, seed)
+                return blk, trv
+
+            ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light,
+                                 u_scat, light_idx, vis_fn=vis_fn)
+        else:
+            ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light,
+                                 u_scat, light_idx)
         nee_ok = alive & surf_lane & hit.hit & has_ns & ~is_null
         L = L + jnp.where(nee_ok[..., None],
                           beta * ld / jnp.maximum(light_pdf, 1e-12)[..., None], 0.0)

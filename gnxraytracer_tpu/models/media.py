@@ -267,3 +267,63 @@ def _box_clip(o_m, d_m, t_max):
     t0 = jnp.maximum(t0, 0.0)
     t1 = jnp.minimum(t1, t_max)
     return t0, t1
+
+
+def transmittance_walk(scene, cfg, o, d, t_max, medium0, lane_key, salt,
+                       seed):
+    """VisibilityTester::Tr / Scene::IntersectTr as a bounded boundary walk
+    (/root/reference/core/Light.cpp:33-53, core/Scene.cpp:26-40): re-cast
+    from each null-material boundary hit, multiply the current medium's
+    per-segment Tr, switch the current medium at each MediumInterface
+    crossing, and return 0 on any real-material blocker.  The reference's
+    unbounded while loop becomes a static unroll of cfg.tr_walk_segments
+    scene casts (nesting depth, not path length — 4 covers shell-in-shell).
+
+    Returns (tr (N,3), blocked (N,) bool).  Lanes still walking after the
+    last segment keep their accumulated Tr (conservative, tiny bias only
+    for deeper nesting than the unroll).
+    """
+    from ..ops import trace as trace_mod
+
+    n = o.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    cur_o = o
+    cur_med = medium0
+    t_rem = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    done = jnp.zeros((n,), bool)
+    blocked = jnp.zeros((n,), bool)
+    for k in range(max(cfg.tr_walk_segments, 1)):
+        hit = trace_mod.scene_intersect(scene, cfg, cur_o, d, t_rem)
+        seg_t = jnp.where(hit.hit, hit.t, t_rem)
+        seg_tr = medium_tr(scene.media, cur_med, cur_o, d, seg_t, lane_key,
+                           salt * 13 + k, seed)
+        tr = jnp.where(done[:, None], tr, tr * seg_tr)
+        # a hit on a real-material primitive is an opaque blocker -> Tr = 0
+        is_tri = hit.kind == trace_mod.PRIM_TRI
+        prim = jnp.where(is_tri, hit.prim, 0)
+        mat = jnp.where(is_tri, scene.geom.tri_mat[prim], 0)
+        if cfg.n_sphs > 0:
+            is_sph = hit.kind == trace_mod.PRIM_SPH
+            sp = jnp.where(is_sph, hit.prim, 0)
+            mat = jnp.where(is_sph, scene.geom.sph_mat[sp], mat)
+        blk = hit.hit & (mat >= 0) & ~done
+        blocked = blocked | blk
+        tr = jnp.where(blk[:, None], 0.0, tr)
+        now_done = done | blk | ~hit.hit
+        # cross the null boundary: MediumInterface transition by side
+        # (GeometricPrimitive::Intersect medium resolution,
+        # core/Primitive.cpp:40-46 semantics via the tri_medium table)
+        tmed = scene.geom.tri_medium[prim]
+        tv = scene.geom.triangles[prim]
+        p0 = scene.geom.vertices[tv[:, 0]]
+        p1 = scene.geom.vertices[tv[:, 1]]
+        p2 = scene.geom.vertices[tv[:, 2]]
+        ngb = jnp.cross(p1 - p0, p2 - p0)
+        entering = jnp.sum(d * ngb, axis=-1) < 0
+        new_med = jnp.where(entering, tmed[:, 0], tmed[:, 1])
+        cur_med = jnp.where(now_done, cur_med, new_med)
+        adv = seg_t + 1e-4 * jnp.maximum(1.0, jnp.abs(seg_t))
+        cur_o = jnp.where(now_done[:, None], cur_o, cur_o + adv[:, None] * d)
+        t_rem = jnp.where(now_done, t_rem, jnp.maximum(t_rem - adv, 0.0))
+        done = now_done
+    return tr, blocked
