@@ -90,6 +90,11 @@ class RenderCfg(NamedTuple):
     # shadow rays walk (0 = single-medium fast path).  Each segment costs a
     # scene cast; 4 covers shell-in-shell nesting.
     tr_walk_segments: int = 0
+    # Whitted dual specular recursion (WhittedIntegrator.cpp:56-62): fork
+    # into BOTH reflect and transmit branches per depth instead of the
+    # stochastic single-branch wavefront (per-sample deterministic — what
+    # config-1/2 per-sample parity runs need; cost 2^depth)
+    whitted_faithful: bool = False
     # MIPMap filtering for camera-ray texture lookups (bounce 0, where the
     # reference's RayDifferential footprint is valid — spawned rays have
     # hasDifferentials=false and fall back to point samples, exactly as the

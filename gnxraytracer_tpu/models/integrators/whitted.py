@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from ...constants import INFINITY
 from ...ops import samplers, trace
 from ...scene import camera as cam_mod
+from ...scene.scene import MAT_GLASS, MAT_MIRROR
 from ...utils.math import absdot
+from .. import bxdf
 from .. import lights as lights_mod
 from .. import materials as mat_mod
 from .path import CAMERA_DIMS, RenderCfg, make_config  # noqa: F401  (shared cfg)
@@ -103,6 +105,118 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     return state["L"]
 
 
+def _specular_branches(scene, cfg, it, wo_local):
+    """Deterministic specular reflect/transmit branch directions + weights,
+    exactly what SpecularReflect/SpecularTransmit's typed Sample_f returns
+    for the reference materials built with allowMultipleLobes=false
+    (core/Integrator.cpp:321-442; GlassMaterial.cpp separate-lobe path):
+      mirror: reflect weight Kr (FresnelNoOp), no transmit
+      glass:  reflect Kr*Fr, transmit Kt*(1-Fr)*eta^2 (radiance mode)
+    Returns (wi_r_local, w_r, has_r, wi_t_local, w_t, has_t)."""
+    mid = jnp.maximum(it.mat, 0)
+    kind = scene.materials.kind[mid]
+    n = kind.shape[0]
+    ct = wo_local[..., 2]
+    wi_r = jnp.stack([-wo_local[..., 0], -wo_local[..., 1], ct], axis=-1)
+    w_r = jnp.zeros((n, 3), jnp.float32)
+    w_t = jnp.zeros((n, 3), jnp.float32)
+    wi_t = jnp.zeros((n, 3), jnp.float32)
+    has_r = jnp.zeros((n,), bool)
+    has_t = jnp.zeros((n,), bool)
+    if MAT_MIRROR in cfg.mat_kinds:
+        m = kind == MAT_MIRROR
+        kr = scene.materials.kr[mid]
+        w_r = jnp.where(m[:, None], kr, w_r)
+        has_r = has_r | m
+    if MAT_GLASS in cfg.mat_kinds:
+        eta_b = scene.materials.eta[mid]
+        smooth = (scene.materials.rough_u[mid] <= 0) & (scene.materials.rough_v[mid] <= 0)
+        m = (kind == MAT_GLASS) & smooth
+        kr = scene.materials.kr[mid]
+        kt = scene.materials.kt[mid]
+        fr = bxdf.fr_dielectric(ct, jnp.ones_like(eta_b), eta_b)
+        w_r = jnp.where(m[:, None], kr * fr[:, None], w_r)
+        has_r = has_r | m
+        entering = ct > 0
+        ei = jnp.where(entering, 1.0, eta_b)
+        et = jnp.where(entering, eta_b, 1.0)
+        eta = ei / et
+        nrm = jnp.concatenate(
+            [jnp.zeros((n, 2)), jnp.where(entering, 1.0, -1.0)[:, None]], axis=-1)
+        from ...utils.math import refract
+
+        ok, wi_tt = refract(wo_local, nrm, eta)
+        wi_t = jnp.where(m[:, None], wi_tt, wi_t)
+        w_t = jnp.where(m[:, None],
+                        kt * ((1.0 - fr) * eta * eta)[:, None], w_t)
+        has_t = has_t | (m & ok)
+    return wi_r, w_r, has_r, wi_t, w_t, has_t
+
+
+def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+    """Reference-exact Whitted: every specular hit recurses into BOTH the
+    reflect and transmit branches (WhittedIntegrator.cpp:56-62 calling
+    SpecularReflect + SpecularTransmit per depth) — a statically-unrolled
+    binary tree of full-width wavefront passes instead of the stochastic
+    single-branch estimator.  Each tree node consumes its own sampler
+    dimension block so per-sample values are branch-history-deterministic
+    (the property config-1/2 per-sample parity runs need).  Cost grows as
+    2^depth; intended for parity/golden runs at Whitted's small depths."""
+    n = o.shape[0]
+    dims_per_depth = 2 * cfg.n_lights + 2
+    max_nodes = 2 ** cfg.max_depth - 1
+    n_dims = CAMERA_DIMS + dims_per_depth * max_nodes
+    U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
+    counter = [0]
+
+    def li(depth, o, d, active):
+        node = counter[0]
+        counter[0] += 1
+        base = CAMERA_DIMS + node * dims_per_depth
+        hit = trace.scene_intersect(scene, cfg, o, d, jnp.full((n,), INFINITY))
+        it = trace.make_interaction(scene, cfg, o, d, hit)
+        L = jnp.zeros((n, 3), jnp.float32)
+        if cfg.has_area:
+            is_emitter = hit.hit & (it.light >= 0)
+            le = lights_mod.area_light_emitted(
+                scene, jnp.maximum(it.light, 0), it.ng, -d,
+                cfg.reference_area_bug)
+            L = L + jnp.where((active & is_emitter)[..., None], le, 0.0)
+        if cfg.has_skybox or cfg.has_env:
+            esc = active & ~hit.hit
+            le_inf = lights_mod.escaped_radiance(scene, cfg, o, d)
+            L = L + jnp.where(esc[..., None], le_inf, 0.0)
+        alive = active & hit.hit
+        wo_local = trace.to_local(it, it.wo)
+        ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base),
+                                   (n, dims_per_depth))
+        for li_idx in range(cfg.n_lights):
+            u_l = ub[:, 2 * li_idx: 2 * li_idx + 2]
+            lidx = jnp.full((n,), li_idx, jnp.int32)
+            ls = lights_mod.sample_li(scene, cfg, lidx, it.p, u_l)
+            wi_local = trace.to_local(it, ls.wi)
+            f, _pdf = mat_mod.evaluate(scene.materials, it.mat, cfg,
+                                       wo_local, wi_local)
+            f = f * absdot(ls.wi, it.ns)[..., None]
+            can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
+            so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
+            occ = trace.scene_occluded(scene, cfg, so, sd, st)
+            contrib = f * ls.li / jnp.maximum(ls.pdf, 1e-12)[..., None]
+            L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
+        if depth + 1 < cfg.max_depth:
+            wi_r, w_r, has_r, wi_t, w_t, has_t = _specular_branches(
+                scene, cfg, it, wo_local)
+            for wi_l, w, has in ((wi_r, w_r, has_r), (wi_t, w_t, has_t)):
+                act2 = alive & has & jnp.any(w > 0, axis=-1)
+                wi_w = trace.to_world(it, wi_l)
+                no, nd = trace.spawn_ray(it, wi_w)
+                lc = li(depth + 1, no, nd, act2)
+                L = L + jnp.where(act2[..., None], w * lc, 0.0)
+        return L
+
+    return li(0, o, d, jnp.ones((n,), bool))
+
+
 def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples):
     hw = cfg.width * cfg.height
     pixel = jnp.tile(jnp.arange(hw, dtype=jnp.int32), (n_samples,))
@@ -111,7 +225,9 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
         sampler, pixel, sample, cfg.width, cfg.pixel_filter,
         cfg.filter_radius, cfg.filter_alpha)
     o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-    L = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
+    tracer = (trace_paths_faithful if getattr(cfg, "whitted_faithful", False)
+              else trace_paths)
+    L = tracer(scene, cfg, sampler, pixel, sample, o, d)
     return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
 
 
