@@ -37,7 +37,11 @@ def fr_dielectric(cos_theta_i, eta_i, eta_t):
     si = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
     st = ei / et * si
     tir = st >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - st * st))
+    # sanitize BEFORE the sqrt: at (or beyond) total internal reflection
+    # 1-st^2 <= 0 and sqrt's derivative w.r.t. eta is infinite, which would
+    # leak NaN through the jnp.where below into eta gradients
+    sts = jnp.where(tir, 0.0, st)
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sts * sts))
     r_parl = (et * ci - ei * ct) / jnp.where(et * ci + ei * ct == 0, 1.0, et * ci + ei * ct)
     r_perp = (ei * ci - et * ct) / jnp.where(ei * ci + et * ct == 0, 1.0, ei * ci + et * ct)
     fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)

@@ -39,43 +39,65 @@ def roughness_to_alpha(roughness):
 # Trowbridge-Reitz (GGX)
 # ---------------------------------------------------------------------------
 
+# NOTE on the double-where pattern below: a degenerate lane (grazing wh,
+# zero wi, below-horizon wo) must not merely mask its *value* to 0 — if the
+# unselected branch's primal is inf/NaN, the VJP of jnp.where propagates
+# NaN into parameter gradients (0 * inf).  So the degenerate operand is
+# sanitized BEFORE the arithmetic, and the result masked after.
+
 def tr_d(wh, ax, ay):
     """GGX anisotropic D (MicroFacet.cpp TrowbridgeReitzDistribution::D)."""
     t2 = tan2_theta(wh)
     c2 = cos_theta(wh) ** 2
     c4 = c2 * c2
-    e = (cos2_phi(wh) / (ax * ax) + sin2_phi(wh) / (ay * ay)) * t2
-    d = 1.0 / (PI * ax * ay * c4 * (1.0 + e) ** 2)
-    return jnp.where(jnp.isfinite(t2) & (c4 > 1e-16), d, 0.0)
+    ok = jnp.isfinite(t2) & (c4 > 1e-16)
+    t2s = jnp.where(ok, t2, 0.0)
+    c4s = jnp.where(ok, c4, 1.0)
+    e = (cos2_phi(wh) / (ax * ax) + sin2_phi(wh) / (ay * ay)) * t2s
+    d = 1.0 / (PI * ax * ay * c4s * (1.0 + e) ** 2)
+    return jnp.where(ok, d, 0.0)
 
 
 def tr_lambda(w, ax, ay):
     abs_tan = jnp.abs(tan_theta(w))
-    alpha = jnp.sqrt(cos2_phi(w) * ax * ax + sin2_phi(w) * ay * ay)
-    a2t2 = (alpha * abs_tan) ** 2
+    ok = jnp.isfinite(abs_tan)
+    at = jnp.where(ok, abs_tan, 0.0)
+    # clamp: a zero-vector lane has cos2_phi == sin2_phi == 0 and sqrt(0)
+    # has an infinite derivative w.r.t. ax/ay
+    alpha = jnp.sqrt(jnp.maximum(
+        cos2_phi(w) * ax * ax + sin2_phi(w) * ay * ay, 1e-12))
+    a2t2 = (alpha * at) ** 2
     lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(ok, lam, 0.0)
 
 
 def beckmann_d(wh, ax, ay):
     t2 = tan2_theta(wh)
     c2 = cos_theta(wh) ** 2
     c4 = c2 * c2
-    d = jnp.exp(-t2 * (cos2_phi(wh) / (ax * ax) + sin2_phi(wh) / (ay * ay))) / (
-        PI * ax * ay * c4
+    ok = jnp.isfinite(t2) & (c4 > 1e-16)
+    t2s = jnp.where(ok, t2, 0.0)
+    c4s = jnp.where(ok, c4, 1.0)
+    d = jnp.exp(-t2s * (cos2_phi(wh) / (ax * ax) + sin2_phi(wh) / (ay * ay))) / (
+        PI * ax * ay * c4s
     )
-    return jnp.where(jnp.isfinite(t2) & (c4 > 1e-16), d, 0.0)
+    return jnp.where(ok, d, 0.0)
 
 
 def beckmann_lambda(w, ax, ay):
     abs_tan = jnp.abs(tan_theta(w))
-    alpha = jnp.sqrt(cos2_phi(w) * ax * ax + sin2_phi(w) * ay * ay)
-    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-8)
+    ok = jnp.isfinite(abs_tan)
+    at = jnp.where(ok, abs_tan, 1.0)
+    alpha = jnp.sqrt(jnp.maximum(
+        cos2_phi(w) * ax * ax + sin2_phi(w) * ay * ay, 1e-12))
+    a = 1.0 / jnp.maximum(alpha * at, 1e-8)
+    a_s = jnp.minimum(a, 1.6)  # branch-sanitized: >=1.6 lanes return 0
     lam = jnp.where(
         a >= 1.6, 0.0,
-        (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a),
+        (1.0 - 1.259 * a_s + 0.396 * a_s * a_s)
+        / (3.535 * a_s + 2.181 * a_s * a_s),
     )
-    return jnp.where(jnp.isfinite(abs_tan), lam, 0.0)
+    return jnp.where(ok, lam, 0.0)
 
 
 def mf_g1(lam):

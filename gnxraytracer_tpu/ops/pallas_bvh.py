@@ -248,10 +248,13 @@ def packet_closest_hit_trihit(bvh, o, d, t_max, *, interpret=True):
                   tri=jnp.maximum(tri, 0), b=b)
 
 
-# Above this table budget the packed tables (~88 B/tri) would overflow the
-# ~16 MB of VMEM the kernel keeps them resident in; production falls back
-# to the XLA packet walk (whose tables live in HBM).
-PALLAS_MAX_TRIS = 120_000
+# Above this table budget Mosaic fails to place the packed tables in VMEM
+# alongside the ray blocks and double buffers (measured on v5e: 51,200 tris
+# / 4.9 MB of tables compiles and runs; 80,000 tris / 7.7 MB gets an HTTP
+# 500 from the compile service).  Production falls back to the XLA packet
+# walk (tables in HBM) beyond this; HBM-resident tables via pltpu.ANY +
+# per-node DMA are the future path for giant meshes.
+PALLAS_MAX_TRIS = 50_000
 
 
 def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):

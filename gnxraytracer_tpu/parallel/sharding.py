@@ -82,27 +82,50 @@ def render_sharded(scene, camera, sampler, cfg, mesh):
 # framework: gradients of image loss w.r.t. scene parameters)
 # ---------------------------------------------------------------------------
 
+# Every MaterialTable column SURVEY.md §7 / BASELINE names as a gradient
+# target: diffuse/specular scales, roughness, IOR, the ten Disney params
+# (materials/DisneyMaterial.h:17).
+_MAT_PARAM_COLS = (
+    "kd", "sigma", "kr", "kt", "ks", "eta", "rough_u", "rough_v",
+    "metallic", "spec_trans", "specular_tint", "anisotropic", "sheen",
+    "sheen_tint", "clearcoat", "clearcoat_gloss", "flatness", "diff_trans",
+)
+
+
 def extract_params(scene):
-    """The differentiable parameter pytree (SURVEY.md §7: material params,
-    light radiance, env texels)."""
-    p = {
-        "kd": scene.materials.kd,
-        "sigma": scene.materials.sigma,
-        "kr": scene.materials.kr,
-        "light_emit": scene.lights.emit,
-    }
+    """The differentiable parameter pytree (SURVEY.md §7): all material
+    columns, light radiance, env texels, medium scattering parameters
+    (media/HomogeneousMedium.cpp:17-43), and image-texture texels (their
+    gradient is the scatter-add transpose of the lookup gathers)."""
+    p = {c: getattr(scene.materials, c) for c in _MAT_PARAM_COLS}
+    p["light_emit"] = scene.lights.emit
     if scene.env is not None:
         p["env_image"] = scene.env.image
+    if scene.media is not None:
+        p["med_sigma_a"] = scene.media.sigma_a
+        p["med_sigma_s"] = scene.media.sigma_s
+        p["med_g"] = scene.media.g
+    if scene.textures is not None:
+        p["tex_atlas"] = scene.textures[0]
     return p
 
 
 def insert_params(scene, p):
-    mats = scene.materials._replace(kd=p["kd"], sigma=p["sigma"], kr=p["kr"])
+    mats = scene.materials._replace(
+        **{c: p[c] for c in _MAT_PARAM_COLS if c in p})
     lights = scene.lights._replace(emit=p["light_emit"])
     env = scene.env
     if env is not None and "env_image" in p:
         env = env._replace(image=p["env_image"])
-    return scene._replace(materials=mats, lights=lights, env=env)
+    media = scene.media
+    if media is not None and "med_sigma_a" in p:
+        media = media._replace(sigma_a=p["med_sigma_a"],
+                               sigma_s=p["med_sigma_s"], g=p["med_g"])
+    textures = scene.textures
+    if textures is not None and "tex_atlas" in p:
+        textures = (p["tex_atlas"],) + tuple(textures[1:])
+    return scene._replace(materials=mats, lights=lights, env=env,
+                          media=media, textures=textures)
 
 
 def make_train_step(cfg, mesh):

@@ -104,7 +104,10 @@ def refract(wi, n, eta):
     sin2_theta_i = jnp.maximum(0.0, 1.0 - cos_theta_i * cos_theta_i)
     sin2_theta_t = eta * eta * sin2_theta_i
     ok = sin2_theta_t < 1.0
-    cos_theta_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_theta_t))
+    # sanitize before the sqrt: past TIR 1-sin2 <= 0 and sqrt's derivative
+    # w.r.t. eta is infinite (NaN-leak through downstream wheres)
+    s2s = jnp.where(ok, sin2_theta_t, 0.0)
+    cos_theta_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - s2s))
     wt = eta[..., None] * -wi + (eta * cos_theta_i - cos_theta_t)[..., None] * n
     return ok, wt
 
