@@ -216,7 +216,12 @@ def _f_impl(p, drv, wo, wi):
     f = f + jnp.where(same[..., None], (pres_cc * f_cc)[..., None], 0.0)
 
     # microfacet transmission (strans)
-    t_col = p["strans"][..., None] * jnp.sqrt(jnp.maximum(c, 0.0))
+    # sqrt'(0) is infinite: black base-color texels would leak NaN into
+    # texture-texel gradients through the 0-cotangent product — sanitize
+    # the operand and mask the value (identical primal)
+    c_pos = c > 0
+    t_col = p["strans"][..., None] * jnp.where(
+        c_pos, jnp.sqrt(jnp.where(c_pos, c, 1.0)), 0.0)
     rscaled = (0.65 * p["eta"] - 0.35) * p["rough"]  # thin remap (:540)
     ax_t = jnp.where(p["thin"], jnp.maximum(1e-3, rscaled * rscaled / jnp.sqrt(1.0 - p["aniso"] * 0.9)), drv["ax"])
     ay_t = jnp.where(p["thin"], jnp.maximum(1e-3, rscaled * rscaled * jnp.sqrt(1.0 - p["aniso"] * 0.9)), drv["ay"])

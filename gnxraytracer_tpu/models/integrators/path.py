@@ -188,12 +188,7 @@ def _choose_light(scene, cfg, u, p=None):
 
         return spatial_choose_light(scene.light_dist, p, u)
     if cfg.light_strategy in ("power", "spatial"):
-        from ..light_dist import light_powers
-
-        pw = light_powers(scene)
-        total = jnp.sum(pw)
-        pmf = jnp.where(total > 0, pw / jnp.maximum(total, 1e-12),
-                        jnp.full((nl,), 1.0 / nl))
+        pmf = _power_pmf(scene, nl)
         cdf = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(pmf)])
         idx = jnp.clip(
             jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=1) - 1, 0, nl - 1
@@ -202,6 +197,20 @@ def _choose_light(scene, cfg, u, p=None):
     idx = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
     pdf = jnp.full(u.shape, 1.0 / nl, jnp.float32)
     return idx, pdf
+
+
+def _power_pmf(scene, nl):
+    """Power-strategy pmf: precomputed at scene build (scene.light_pmf,
+    mirroring the reference's one-time Preprocess LightDistribution build);
+    falls back to recomputing for hand-constructed Scene values."""
+    if scene.light_pmf is not None:
+        return scene.light_pmf
+    from ..light_dist import light_powers
+
+    pw = light_powers(scene)
+    total = jnp.sum(pw)
+    return jnp.where(total > 0, pw / jnp.maximum(total, 1e-12),
+                     jnp.full((nl,), 1.0 / nl))
 
 
 def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
@@ -298,18 +307,19 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
 # The bounce loop
 # ---------------------------------------------------------------------------
 
-def _resolve_kd_hit(scene, cfg, hit, it, rd):
+def _resolve_kd_hit(scene, cfg, hit, it, rd, mats_row=None):
     """Per-hit base color; with camera differentials (rd, bounce 0 only)
     the uv footprint feeds the filtered MIPMap lookup — the wiring of
     ComputeDifferentials (core/Interaction.cpp:65) into
     ImageTexture::Evaluate that the reference does per camera ray."""
     if not cfg.has_textures:
         return None
+    mid = None if mats_row is not None else it.mat
     if rd is None or cfg.texture_filter == "bilinear":
-        return mat_mod.resolve_kd(scene, cfg, it.mat, it.uv)
+        return mat_mod.resolve_kd(scene, cfg, mid, it.uv, mats=mats_row)
     dpdu, dpdv = trace.triangle_dpduv(scene, hit)
     duvdx, duvdy = trace.compute_differentials(it.p, it.ns, dpdu, dpdv, rd)
-    return mat_mod.resolve_kd(scene, cfg, it.mat, it.uv,
+    return mat_mod.resolve_kd(scene, cfg, mid, it.uv, mats=mats_row,
                               duv=(duvdx, duvdy))
 
 
@@ -346,14 +356,18 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
         # NEE (skip for perfectly specular BSDFs, PathIntegrator.cpp:138)
         wo_local = trace.to_local(it, it.wo)
-        has_ns = mat_mod.has_nonspecular(scene.materials, it.mat, cfg)
+        # one one-hot matmul fetches every material column for the bounce
+        # (PERF.md: beats ~10 per-lane gathers on the MXU)
+        mats_row = mat_mod.gather_material_table(scene.materials,
+                                                 jnp.maximum(it.mat, 0))
+        has_ns = mat_mod.has_nonspecular(mats_row, None, cfg)
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd)
+        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd, mats_row)
         ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
-                             kd_ov)
+                             kd_ov, mats_row=mats_row)
         nee_ok = alive & has_ns
         L = L + jnp.where(
             nee_ok[..., None],
@@ -363,7 +377,7 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
         # extension: sample the BSDF
         u_bsdf = ub[:, 5:7]
-        smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
+        smp = mat_mod.sample(mats_row, None, cfg, wo_local, u_bsdf,
                              u_bsdf[..., 0], kd_ov)
         beta = state["beta"] * smp.weight
         alive = alive & smp.valid & jnp.any(beta > 0, axis=-1)
@@ -428,13 +442,7 @@ def _hit_light_select_pdf(scene, cfg, light_idx):
     """P(select light_idx) under the configured strategy."""
     nl = cfg.n_lights
     if cfg.light_strategy in ("power", "spatial"):
-        from ..light_dist import light_powers
-
-        pw = light_powers(scene)
-        total = jnp.sum(pw)
-        pmf = jnp.where(total > 0, pw / jnp.maximum(total, 1e-12),
-                        jnp.full((nl,), 1.0 / nl))
-        return pmf[light_idx]
+        return _power_pmf(scene, nl)[light_idx]
     return jnp.full(light_idx.shape, 1.0 / nl, jnp.float32)
 
 
@@ -501,14 +509,16 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
         # ---- NEE: light-sample strategy only -------------------------------
         wo_local = trace.to_local(it, it.wo)
-        has_ns = mat_mod.has_nonspecular(scene.materials, it.mat, cfg)
+        mats_row = mat_mod.gather_material_table(scene.materials,
+                                                 jnp.maximum(it.mat, 0))
+        has_ns = mat_mod.has_nonspecular(mats_row, None, cfg)
         u_sel = ub[:, 0]
         u_light = ub[:, 1:3]
         light_idx, light_pdf_sel = _choose_light(scene, cfg, u_sel, it.p)
-        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd)
+        kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd, mats_row)
         ls = lights_mod.sample_li(scene, cfg, light_idx, it.p, u_light)
         wi_local = trace.to_local(it, ls.wi)
-        f_l, scat_pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local,
+        f_l, scat_pdf = mat_mod.evaluate(mats_row, None, cfg, wo_local,
                                          wi_local, kd_ov)
         f_l = f_l * absdot(ls.wi, it.ns)[..., None]
         can = (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f_l > 0, -1)
@@ -526,7 +536,7 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
         # ---- extension ------------------------------------------------------
         u_bsdf = ub[:, 5:7]
-        smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_bsdf,
+        smp = mat_mod.sample(mats_row, None, cfg, wo_local, u_bsdf,
                              u_bsdf[..., 0], kd_ov)
         beta = state["beta"] * smp.weight
         alive = alive & smp.valid & jnp.any(beta > 0, axis=-1)

@@ -154,6 +154,12 @@ class Scene(NamedTuple):
     bvh: Optional[tuple]  # BVH arrays (ops/bvh.py) or None -> brute force
     light_dist: Optional[tuple] = None  # spatial light distribution grid
     instanced: Optional[InstancedGeom] = None  # TransformedPrimitive table
+    # power-strategy selection pmf, precomputed at build (the reference
+    # builds its LightDistribution once in Preprocess,
+    # integrators/PathIntegrator.cpp:31 — not per bounce).  Frozen w.r.t.
+    # emission updates, which keeps the estimator unbiased (any fixed pmf
+    # does) and the selection pdf detached for gradients.
+    light_pmf: Optional[jnp.ndarray] = None
 
     @property
     def n_lights(self):
@@ -537,7 +543,7 @@ class SceneBuilder:
             from ..ops.bvh import build_bvh
             bvh_arrays = build_bvh(verts, tris)
 
-        return Scene(
+        scene = Scene(
             geom=geom, materials=mat, lights=lights, env=env, textures=textures,
             media=media, camera_medium=self.camera_medium,
             world_center=jnp.asarray(center, jnp.float32),
@@ -546,3 +552,11 @@ class SceneBuilder:
             light_dist=None,
             instanced=instanced,
         )
+        from ..models.light_dist import light_powers
+
+        pw = light_powers(scene)
+        total = jnp.sum(pw)
+        nl = pw.shape[0]
+        pmf = jnp.where(total > 0, pw / jnp.maximum(total, 1e-12),
+                        jnp.full((nl,), 1.0 / nl))
+        return scene._replace(light_pmf=pmf)

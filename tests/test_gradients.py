@@ -129,6 +129,7 @@ class TestGradientSurface:
                                    atol=5e-4)
         return g
 
+    @pytest.mark.slow
     def test_grad_wrt_roughness(self):
         from gnxraytracer_tpu.scene.scene import SceneBuilder
         from gnxraytracer_tpu.scene.camera import make_perspective_camera
@@ -168,6 +169,7 @@ class TestGradientSurface:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
 
+    @pytest.mark.slow
     def test_grad_wrt_disney_params(self):
         from gnxraytracer_tpu.scene.scene import SceneBuilder
         from gnxraytracer_tpu.scene.camera import make_perspective_camera
@@ -199,6 +201,7 @@ class TestGradientSurface:
             g = jax.grad(loss_c)(getattr(scene.materials, col))
             assert np.isfinite(np.asarray(g)).all(), col
 
+    @pytest.mark.slow
     def test_grad_wrt_medium_sigma(self):
         from gnxraytracer_tpu.models.integrators import volpath
         from gnxraytracer_tpu.scene.scene import SceneBuilder
@@ -229,6 +232,7 @@ class TestGradientSurface:
         # more absorption -> darker image: negative gradient on the medium
         assert float(np.asarray(g)[0].sum()) < 0
 
+    @pytest.mark.slow
     def test_grad_wrt_texture_texels(self):
         from gnxraytracer_tpu.scene.scene import SceneBuilder
         from gnxraytracer_tpu.scene.camera import make_perspective_camera

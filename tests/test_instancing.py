@@ -3,6 +3,7 @@ explicitly flattened into world space (TransformedPrimitive semantics,
 reference core/Primitive.cpp:80-101)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -166,6 +167,7 @@ class TestInstancedRender:
         assert frac_off < 0.01, f"{frac_off:.4f} of pixels differ"
         np.testing.assert_allclose(inst_img.mean(), flat_img.mean(), rtol=5e-3)
 
+    @pytest.mark.slow
     def test_instanced_visible(self):
         img = self._render(flatten=False)
         base_scene_img = None

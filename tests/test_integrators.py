@@ -122,6 +122,7 @@ class TestWhittedFaithful:
                                       look=(0, 0, 0))
         return scene, cam
 
+    @pytest.mark.slow
     def test_faithful_matches_stochastic_expectation(self):
         scene, cam = self._glass_scene()
         s_lo = samplers.make_random_sampler(8, seed=0)

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnxraytracer_tpu.models.integrators import path
 from gnxraytracer_tpu.ops import samplers
@@ -148,6 +149,7 @@ class TestMipFiltering:
         fb = far_rows(ewa)
         assert 0.2 < fb.mean() / max(far_rows(bil).mean(), 1e-6) < 2.0
 
+    @pytest.mark.slow
     def test_trilinear_also_smooths(self):
         bil = self._render("bilinear")
         tri = self._render("trilinear")
