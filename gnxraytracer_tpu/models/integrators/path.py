@@ -90,6 +90,12 @@ class RenderCfg(NamedTuple):
     # shadow rays walk (0 = single-medium fast path).  Each segment costs a
     # scene cast; 4 covers shell-in-shell nesting.
     tr_walk_segments: int = 0
+    # VolPath: extra bounce-loop iterations so null-boundary medium
+    # transitions do NOT consume path depth — the reference re-loops with
+    # bounces-- at null-BSDF vertices (PathIntegrator.cpp:121-126); lanes
+    # carry a logical depth counter and the loop runs
+    # max_depth+1+vol_null_extra iterations to bound crossings.
+    vol_null_extra: int = 3
     # Whitted dual specular recursion (WhittedIntegrator.cpp:56-62): fork
     # into BOTH reflect and transmit branches per depth instead of the
     # stochastic single-branch wavefront (per-sample deterministic — what
@@ -214,7 +220,7 @@ def _power_pmf(scene, nl):
 
 
 def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
-                    kd_override=None, mats_row=None, vis_fn=None):
+                    kd_override=None, mats_row=None, vis_fn=None, mask=None):
     """EstimateDirect (core/Integrator.cpp:93-210) for all lanes at once.
 
     mats_row: optional pre-gathered per-lane MaterialTable (one one-hot
@@ -222,6 +228,10 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
     vis_fn: optional (o, d, t_max) -> (occluded (N,), tr (N,3)) replacing
     the binary shadow query — VolPath's handleMedia=true
     VisibilityTester::Tr path (core/Integrator.cpp:148-155).
+    mask: optional (N,) bool — lanes whose NEE result will actually be
+    used; the two scene casts get t_max = 0 outside it, so the packet
+    walks skip those lanes entirely (the caller's downstream where-mask
+    makes the values themselves irrelevant).
     Returns (N,3) direct radiance (before division by light-select pdf).
     """
     n = it.p.shape[0]
@@ -239,8 +249,11 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
                                          wi_local, kd_override)
     f_light = f_light * absdot(ls.wi, it.ns)[..., None]
     contrib_possible = (ls.pdf > 0) & jnp.any(ls.li > 0, axis=-1) & jnp.any(f_light > 0, axis=-1)
+    if mask is not None:
+        contrib_possible = contrib_possible & mask
     # visibility (shadow ray) only where it can matter
     so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
+    st = jnp.where(contrib_possible, st, 0.0)
     if vis_fn is not None:
         occluded, tr_vis = vis_fn(so, sd, st)
     else:
@@ -274,7 +287,9 @@ def estimate_direct(scene, cfg, it, wo_local, u_light, u_scatter, light_idx,
     # trace the BSDF-sampled ray; add only if it hits *this* light (or the
     # light is infinite and the ray escapes)
     bo, bd = trace.spawn_ray(it, wi_world)
-    bhit = trace.scene_intersect(scene, cfg, bo, bd, jnp.full((n,), INFINITY))
+    bhit_relevant = do_bsdf if mask is None else (do_bsdf & mask)
+    bhit = trace.scene_intersect(scene, cfg, bo, bd,
+                                 jnp.where(bhit_relevant, INFINITY, 0.0))
     li_b = jnp.zeros((n, 3), jnp.float32)
     if cfg.has_area:
         hit_it_light = bhit.hit & (bhit.kind == trace.PRIM_TRI)
@@ -332,8 +347,11 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
     def bounce(b, state):
         ub = get_ub(b)
+        # dead lanes cast with t_max = 0: the packet walks sort them to the
+        # end and their blocks terminate at the root in one step, so a cast
+        # costs ~(alive fraction) of full width (PERF.md round-2)
         hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
-                                    jnp.full((n,), INFINITY))
+                                    jnp.where(state["alive"], INFINITY, 0.0))
         it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
 
         L = state["L"]
@@ -366,9 +384,9 @@ def _make_faithful_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
         u_scat = ub[:, 3:5]
         light_idx, light_pdf = _choose_light(scene, cfg, u_sel, it.p)
         kd_ov = _resolve_kd_hit(scene, cfg, hit, it, rd, mats_row)
-        ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
-                             kd_ov, mats_row=mats_row)
         nee_ok = alive & has_ns
+        ld = estimate_direct(scene, cfg, it, wo_local, u_light, u_scat, light_idx,
+                             kd_ov, mats_row=mats_row, mask=nee_ok)
         L = L + jnp.where(
             nee_ok[..., None],
             state["beta"] * ld / jnp.maximum(light_pdf, 1e-12)[..., None],
@@ -453,8 +471,11 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
 
     def bounce(b, state):
         ub = get_ub(b)
+        # dead lanes cast with t_max = 0: the packet walks sort them to the
+        # end and their blocks terminate at the root in one step, so a cast
+        # costs ~(alive fraction) of full width (PERF.md round-2)
         hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
-                                    jnp.full((n,), INFINITY))
+                                    jnp.where(state["alive"], INFINITY, 0.0))
         it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
         L = state["L"]
 
@@ -523,7 +544,10 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
         f_l = f_l * absdot(ls.wi, it.ns)[..., None]
         can = (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f_l > 0, -1)
         so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
-        occ = trace.scene_occluded(scene, cfg, so, sd, st)
+        # shadow cast only where the NEE sample can contribute (dead/zero
+        # lanes get t_max = 0 and cost nothing in the packet walks)
+        occ = trace.scene_occluded(scene, cfg, so, sd,
+                                   jnp.where(alive & has_ns & can, st, 0.0))
         w_l = jnp.where(ls.is_delta, 1.0,
                         power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
         ld = f_l * ls.li * (w_l / jnp.maximum(ls.pdf, 1e-12))[..., None]

@@ -9,14 +9,18 @@ events behave like the surface path integrator.  Media transitions happen
 at null-material boundaries (mat id < 0) carrying a MediumInterface
 (core/Medium.h:70-79 semantics via the tri_medium table).
 
-Round-1 simplifications (documented deviations):
-  * null-boundary crossings consume a bounce (the reference re-loops
-    without counting, PathIntegrator.cpp:121-126) — compensate by raising
-    max_depth;
-  * shadow-ray Tr accounts for the lane's current medium over the segment
-    (grid media are exactly bounded by their [0,1]^3 box via ray clipping);
-    chains of nested homogeneous shells along one shadow ray are not yet
-    walked boundary-by-boundary.
+Depth semantics match the reference: null-boundary crossings do NOT
+consume path depth (the reference re-loops with bounces--,
+PathIntegrator.cpp:121-126) — each lane carries a logical `depth` counter
+incremented only at real scattering vertices (medium events and non-null
+surface hits); the loop runs max_depth+1+cfg.vol_null_extra iterations to
+bound the extra null-crossing steps.  Null crossings also skip Russian
+roulette, as the reference's `continue` jumps over it.
+
+Shadow-ray transmittance: with cfg.tr_walk_segments > 0 shadow rays do the
+full VisibilityTester::Tr boundary walk (core/Light.cpp:33-53); otherwise
+Tr accounts for the lane's current medium over the segment only (grid
+media are exactly bounded by their [0,1]^3 box via ray clipping).
 """
 
 import jax
@@ -34,10 +38,13 @@ from .path import CAMERA_DIMS, DIMS_PER_BOUNCE, RenderCfg, _choose_light, make_c
 
 
 def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
-                lane_key, bounce, seed):
+                lane_key, bounce, seed, mask=None):
     """UniformSampleOneLight at a medium vertex (handleMedia=true):
     light-sample strategy with phase eval + Tr visibility, plus
-    phase-sample strategy MIS (core/Integrator.cpp:124-131,172-177)."""
+    phase-sample strategy MIS (core/Integrator.cpp:124-131,172-177).
+    mask: lanes that are actually medium vertices — the scene casts get
+    t_max = 0 elsewhere (values for masked-out lanes are discarded by the
+    caller's where)."""
     n = p.shape[0]
     light_idx, light_pdf = _choose_light(scene, cfg, u_sel, p)
     ls = lights_mod.sample_li(scene, cfg, light_idx, p, u_light)
@@ -48,6 +55,8 @@ def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
     dist = jnp.sqrt(jnp.maximum(jnp.sum(to_t * to_t, -1), 1e-20))
     sd = to_t / dist[:, None]
     st = jnp.where(ls.is_infinite, jnp.full_like(dist, INFINITY), dist * (1 - 1e-3))
+    if mask is not None:
+        st = jnp.where(mask, st, 0.0)
     if cfg.tr_walk_segments > 0:
         # full VisibilityTester::Tr boundary walk (core/Light.cpp:33-53)
         tr, occ = media_mod.transmittance_walk(
@@ -68,7 +77,10 @@ def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
     wi2, p2 = media_mod.hg_sample(wo, u_scat, g_hg)
     l_pdf2 = lights_mod.pdf_li(scene, cfg, light_idx, p, wi2)
     w_b = power_heuristic(1.0, p2, 1.0, l_pdf2)
-    bhit = trace.scene_intersect(scene, cfg, p, wi2, jnp.full((n,), INFINITY))
+    t_ph = jnp.full((n,), INFINITY)
+    if mask is not None:
+        t_ph = jnp.where(mask, t_ph, 0.0)
+    bhit = trace.scene_intersect(scene, cfg, p, wi2, t_ph)
     li_b = jnp.zeros((n, 3), jnp.float32)
     if cfg.has_area:
         hit_tri = bhit.hit & (bhit.kind == trace.PRIM_TRI)
@@ -92,7 +104,10 @@ def _medium_nee(scene, cfg, p, wo, g_hg, medium_id, u_sel, u_light, u_scat,
 
 def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     n = o.shape[0]
-    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    # extra iterations absorb null-boundary crossings, which re-loop
+    # without consuming logical depth (see module docstring)
+    n_iters = cfg.max_depth + 1 + (cfg.vol_null_extra if cfg.has_media else 0)
+    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * n_iters
     U = samplers.sample_all_dims(sampler, pixel, sample, n_dims)
     lane_key = rng.hash_combine(pixel, sample).astype(jnp.int32)
     seed = 0x5EED
@@ -105,13 +120,15 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         specular=jnp.zeros((n,), bool),
         eta_scale=jnp.ones((n,), jnp.float32),
         medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+        depth=jnp.zeros((n,), jnp.int32),
     )
 
     def bounce(b, state):
         base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
         ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base), (n, DIMS_PER_BOUNCE))
+        # dead lanes cast with t_max = 0 (skipped by the packet walks)
         hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
-                                    jnp.full((n,), INFINITY))
+                                    jnp.where(state["alive"], INFINITY, 0.0))
         it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
         L = state["L"]
         beta = state["beta"]
@@ -129,7 +146,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         surf_lane = state["alive"] & ~med_event
 
         # ---- emission (surface lanes, bounce 0 / specular) ---------------
-        emit_ok = surf_lane & ((b == 0) | state["specular"])
+        emit_ok = surf_lane & ((state["depth"] == 0) | state["specular"])
         if cfg.has_area:
             is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (it.light >= 0)
             le = lights_mod.area_light_emitted(
@@ -141,7 +158,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             le_inf = lights_mod.escaped_radiance(scene, cfg, state["o"], state["d"])
             L = L + jnp.where(esc[..., None], beta * le_inf, 0.0)
 
-        depth_ok = b < cfg.max_depth
+        depth_ok = state["depth"] < cfg.max_depth
         alive = state["alive"] & (med_event | hit.hit) & depth_ok
 
         u_sel = ub[:, 0]
@@ -157,7 +174,8 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             g_hg = scene.media.g[mid]
             wo = -state["d"]
             ld_med = _medium_nee(scene, cfg, p_med, wo, g_hg, state["medium"],
-                                 u_sel, u_light, u_scat, lane_key, b, seed)
+                                 u_sel, u_light, u_scat, lane_key, b, seed,
+                                 mask=alive & med_event)
             L = L + jnp.where((alive & med_event)[..., None], beta * ld_med, 0.0)
             wi_med, _p = media_mod.hg_sample(wo, u_bsdf, g_hg)
 
@@ -170,6 +188,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         from .path import estimate_direct
 
         it_safe = it._replace(mat=jnp.maximum(it.mat, 0))
+        nee_ok = alive & surf_lane & hit.hit & has_ns & ~is_null
         if cfg.tr_walk_segments > 0:
             # surface NEE with Tr-attenuated visibility (handleMedia=true,
             # core/Integrator.cpp:148-155): the shadow ray starts in the
@@ -181,11 +200,11 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
                 return blk, trv
 
             ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light,
-                                 u_scat, light_idx, vis_fn=vis_fn)
+                                 u_scat, light_idx, vis_fn=vis_fn,
+                                 mask=nee_ok)
         else:
             ld = estimate_direct(scene, cfg, it_safe, wo_local, u_light,
-                                 u_scat, light_idx)
-        nee_ok = alive & surf_lane & hit.hit & has_ns & ~is_null
+                                 u_scat, light_idx, mask=nee_ok)
         L = L + jnp.where(nee_ok[..., None],
                           beta * ld / jnp.maximum(light_pdf, 1e-12)[..., None], 0.0)
 
@@ -224,20 +243,23 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         valid = jnp.where(med_event, True, surf_valid)
         alive = alive & valid & jnp.any(beta_next > 0, axis=-1)
 
-        # etaScale + RR (as surface path)
+        # etaScale + RR (as surface path); null crossings skip RR and do
+        # not consume depth (reference `bounces--; continue`)
+        real_scatter = alive & (med_event | ~is_null)
         entering_s = dot(it.wo, it.ng) > 0
         es_up = jnp.where(entering_s, smp.eta * smp.eta,
                           1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
         eta_scale = jnp.where(surf_lane & smp.specular & smp.transmission,
                               state["eta_scale"] * es_up, state["eta_scale"])
         rr_max = jnp.max(beta_next * eta_scale[:, None], axis=-1)
-        do_rr = (rr_max < cfg.rr_threshold) & (b > 3)
+        do_rr = real_scatter & (rr_max < cfg.rr_threshold) & (state["depth"] > 3)
         q = jnp.maximum(0.05, 1.0 - rr_max)
         killed = do_rr & (u_rr < q)
         beta_next = jnp.where((do_rr & ~killed)[:, None],
                               beta_next / jnp.maximum(1.0 - q, 1e-6)[:, None],
                               beta_next)
         alive = alive & ~killed
+        depth = state["depth"] + (alive & real_scatter).astype(jnp.int32)
 
         return dict(
             o=jnp.where(alive[:, None], no, state["o"]),
@@ -248,9 +270,10 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             specular=jnp.where(alive, specular, state["specular"]),
             eta_scale=jnp.where(alive, eta_scale, state["eta_scale"]),
             medium=jnp.where(alive, medium, state["medium"]),
+            depth=depth,
         )
 
-    state = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce, state)
+    state = jax.lax.fori_loop(0, n_iters, bounce, state)
     return state["L"]
 
 

@@ -41,6 +41,16 @@ class BVH(NamedTuple):
     prim_idx: jnp.ndarray   # (T_padded,) int32 reordered triangle ids (-1 pad)
     miss: jnp.ndarray       # (NN,) int32 threaded skip link (-1 = done)
     leaf_soa: jnp.ndarray   # (T_padded, 9) packed p0|p1|p2 in leaf order
+    # Per-octant front-to-back threading (the TPU replacement for the
+    # reference's dirIsNeg near-child-first stack order,
+    # accelerator/BVHAccel.cpp:663-700): for direction octant o, a walk that
+    # enters inner node n continues at first8[o,n] (the child nearer along
+    # the ray) and a miss/finished node jumps to miss8[o,n].  Early t_best
+    # tightening is what prunes far subtrees — the whole point of ordered
+    # traversal.  Optional (None on hand-built trees): packet traversal
+    # falls back to the single fixed order.
+    first8: jnp.ndarray = None  # (8, NN) int32
+    miss8: jnp.ndarray = None   # (8, NN) int32
 
 
 # ---------------------------------------------------------------------------
@@ -67,6 +77,46 @@ def _compute_miss_links(offset, n_prims):
     return miss
 
 
+def _compute_octant_links(offset, n_prims, axis):
+    """Eight threaded orderings of the same tree, one per ray-direction
+    octant, each visiting the NEAR child first (the split-axis sign test the
+    reference does per stack push, BVHAccel.cpp:678-690): octant bit a set
+    means the direction is negative along axis a, so the right (upper)
+    child is nearer and is visited first.
+
+    Vectorized per BFS level (parents strictly precede children in the
+    depth-first layout, and a child's miss depends only on its parent's
+    already-final miss), so the build is O(levels) numpy scatters instead
+    of 8 Python DFS walks.  Returns (first8, miss8), both (8, NN) int32."""
+    nn = len(offset)
+    is_inner = n_prims == 0
+    inner = np.nonzero(is_inner)[0]
+    left = (inner + 1).astype(np.int32)
+    right = offset[inner].astype(np.int32)
+    # (8, NI): near child per octant for every inner node
+    neg = ((np.arange(8, dtype=np.int32)[:, None] >> axis[inner][None, :]) & 1)
+    near = np.where(neg == 1, right[None, :], left[None, :])
+    far = np.where(neg == 1, left[None, :], right[None, :])
+
+    first8 = np.full((8, nn), -1, np.int32)
+    first8[:, inner] = near
+
+    pos = np.full(nn, -1, np.int64)
+    pos[inner] = np.arange(len(inner))
+    miss8 = np.full((8, nn), -1, np.int32)
+    frontier = np.array([0], dtype=np.int64)
+    while len(frontier):
+        fi = frontier[is_inner[frontier]]
+        if len(fi) == 0:
+            break
+        p = pos[fi]
+        for o in range(8):  # near targets are unique (one parent per child)
+            miss8[o, near[o, p]] = far[o, p]
+            miss8[o, far[o, p]] = miss8[o, fi]
+        frontier = np.concatenate([fi + 1, offset[fi]])
+    return first8, miss8
+
+
 def _pack_leaf_soa(vertices, triangles, order):
     """(T_padded, 9) p0|p1|p2 rows in leaf order: one contiguous row fetch
     per leaf prim instead of an index-chase (tris gather + 3 vertex
@@ -84,9 +134,11 @@ def _finish_build(arrs, vertices, triangles):
     lo, hi, off, npr, ax, order = (np.asarray(a) for a in arrs)
     miss = _compute_miss_links(off, npr)
     soa = _pack_leaf_soa(vertices, triangles, order)
+    first8, miss8 = _compute_octant_links(off, npr, ax)
     return BVH(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(off),
                jnp.asarray(npr), jnp.asarray(ax), jnp.asarray(order),
-               jnp.asarray(miss), jnp.asarray(soa))
+               jnp.asarray(miss), jnp.asarray(soa),
+               jnp.asarray(first8), jnp.asarray(miss8))
 
 
 def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):
@@ -408,11 +460,17 @@ def bvh_any_hit_stackless(bvh: BVH, o, d, t_max):
 PACKET = 512  # rays per shared-cursor packet
 
 
-def ray_sort_perm(o, d, lo, hi):
+def ray_sort_perm(o, d, lo, hi, t_max=None):
     """Coherence permutation: sort rays by (direction octant, morton of
     quantized origin).  Packets then see nearby rays pointing the same
     way — the knob that turns packet traversal from union-of-paths back
-    into per-ray-optimal node visits.  Returns (perm, inv_perm)."""
+    into per-ray-optimal node visits.
+
+    When t_max is given, lanes with t_max <= 0 (dead wavefront lanes —
+    integrators mask them this way) sort to the END: their blocks become
+    all-dead, request no nodes, and terminate at the root in one step, so
+    a wavefront that is 20% alive costs ~20% of a full cast instead of
+    100%.  Returns (perm, inv_perm)."""
     ext = jnp.maximum(hi - lo, 1e-6)
     q = jnp.clip(((o - lo) / ext * 31.0), 0, 31).astype(jnp.uint32)  # 5 bits
 
@@ -427,6 +485,8 @@ def ray_sort_perm(o, d, lo, hi):
               | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
     key = (octant << jnp.uint32(15)) | morton
+    if t_max is not None:
+        key = jnp.where(t_max <= 0, jnp.uint32(0x7FFFFFFF), key)
     perm = jnp.argsort(key)
     inv = jnp.argsort(perm)
     return perm, inv
@@ -449,7 +509,8 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
     n = o.shape[0]
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
-        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0])
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
+                                  t_max=t_max)
         o, d, t_max = o[perm], d[perm], t_max[perm]
 
     b = packet
@@ -465,6 +526,23 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
     tm = pad(t_max, -1.0).reshape(nb, b)
     inv_d = 1.0 / jnp.where(jnp.abs(dp) < 1e-20,
                             jnp.where(dp < 0, -1e-20, 1e-20), dp)
+
+    # Ordered (front-to-back) traversal: each block walks the threading for
+    # its majority direction octant (after the sort, blocks are octant-pure
+    # except at boundaries — a mixed block just gets a suboptimal but still
+    # correct DFS order).  Near-child-first tightens t_best early, which is
+    # what makes `tn < t_best` prune far subtrees — the fix for the
+    # incoherent-bounce cliff (PERF.md round-2).
+    ordered = sort and bvh.first8 is not None
+    if ordered:
+        nn_nodes = bvh.first8.shape[1]
+        d0 = dp[:, 0, :]  # block-representative ray
+        oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
+                 | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+                 | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
+        link_base = oct_b * nn_nodes
+        first_flat = bvh.first8.reshape(-1)
+        miss_flat = bvh.miss8.reshape(-1)
 
     class St(NamedTuple):
         cursor: jnp.ndarray   # (NB,)
@@ -487,7 +565,12 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
         hi = bvh.bounds_hi[node][:, None, :]
         np_ = bvh.n_prims[node]
         off = bvh.offset[node]
-        miss = bvh.miss[node]
+        if ordered:
+            nxt = first_flat[link_base + node]
+            miss = miss_flat[link_base + node]
+        else:
+            nxt = node + 1
+            miss = bvh.miss[node]
 
         t0 = (lo - op) * inv_d
         t1 = (hi - op) * inv_d
@@ -522,7 +605,7 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
             tri_b = jnp.where(valid, ids[:, None], tri_b)
             uv_b = jnp.where(valid[..., None], jnp.stack([u, v], -1), uv_b)
 
-        cursor = jnp.where(is_inner, node + 1, miss)
+        cursor = jnp.where(is_inner, nxt, miss)
         cursor = jnp.where(active, cursor, st.cursor)
         return St(cursor, t_best, tri_b, uv_b)
 
@@ -545,7 +628,8 @@ def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
     n = o.shape[0]
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
-        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0])
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
+                                  t_max=t_max)
         o, d, t_max = o[perm], d[perm], t_max[perm]
     b = packet
     n_pad = ((n + b - 1) // b) * b

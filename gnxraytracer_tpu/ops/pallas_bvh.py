@@ -48,19 +48,24 @@ MAX_STEPS = 65536
 
 
 def pack_bvh_for_pallas(bvh):
-    """Pack the ops/bvh.BVH arrays into the two dense f32 tables the kernel
-    reads with scalar row indices.
+    """Pack the ops/bvh.BVH arrays into the dense tables the kernel reads
+    with scalar row indices.
 
-    nodes (NN, 8): lo.x lo.y lo.z hi.x hi.y hi.z bits(off_or_nprims)
-                   bits(miss) — where column 6 stores `offset` for interior
-                   nodes and `-(n_prims)` is NOT needed: leaf-ness is
-                   encoded as bits(n_prims) in the low 16 bits of column 6?
-                   Keep it simple: col6 = bits(offset), col7 = bits(miss),
-                   and a third int table is avoided by storing
-                   bits(n_prims) in the *sign*: interior offset is always
-                   > 0 (node 0 is the root), so col6 = offset for interior
-                   and -(prim_start + 1) for leaves.
-    leafs (Tp, 16): p0 p1 p2 (9 floats), bits(tri_id), 6 pad.
+    nodes (NN, 8) f32  : lo.xyz hi.xyz pad pad
+    meta8 (K, NN, 2) i32: per-octant threaded links —
+        col 0: leaf -> -(prim_start + 1); inner -> FIRST child in this
+               octant's near-first order (bvh.first8; node 0 is the root so
+               first-child ids are always >= 1, keeping leaf-ness in the
+               sign).
+        col 1: miss link for this octant (bvh.miss8).
+        K = 8 when the tree carries octant links, else 1 (single fixed
+        order: first child = node+1, the depth-first layout).
+    leafs (Tp, 16) f32 : p0 p1 p2 (9 floats) + pad
+    tid   (Tp, 2)  i32 : triangle id + pad
+
+    The kernel receives ONE (NN, 2) octant slice of meta8 per grid program
+    via scalar-prefetch block selection, so the per-octant tables cost no
+    extra VMEM.
     """
     # Pure jnp (traceable): callable inside jit, where XLA hoists the pack
     # as loop-invariant — so production scene_intersect can call it per cast.
@@ -68,7 +73,6 @@ def pack_bvh_for_pallas(bvh):
     hi = bvh.bounds_hi.astype(jnp.float32)
     off = bvh.offset.astype(jnp.int32)
     npr = bvh.n_prims.astype(jnp.int32)
-    miss = bvh.miss.astype(jnp.int32)
     prim = bvh.prim_idx.astype(jnp.int32)
     soa = bvh.leaf_soa.astype(jnp.float32)
     nn = off.shape[0]
@@ -76,19 +80,30 @@ def pack_bvh_for_pallas(bvh):
     # Mosaic has no scalar bitcast (tpu.bitcast wants vectors), so int
     # metadata lives in its own i32 tables instead of f32-punned columns.
     nodes = jnp.concatenate([lo, hi, jnp.zeros((nn, 2), jnp.float32)], axis=1)
-    meta = jnp.stack([jnp.where(npr > 0, -(off + 1), off),  # leaf: -(start+1)
-                      miss], axis=1)
+    leaf_code = -(off + 1)
+    if bvh.first8 is not None:
+        first = jnp.where((npr > 0)[None, :], leaf_code[None, :],
+                          bvh.first8.astype(jnp.int32))
+        meta8 = jnp.stack([first, bvh.miss8.astype(jnp.int32)], axis=-1)
+    else:
+        seq = jnp.arange(nn, dtype=jnp.int32) + 1
+        meta8 = jnp.stack([jnp.where(npr > 0, leaf_code, seq),
+                           bvh.miss.astype(jnp.int32)], axis=1)[None]
 
     tp = prim.shape[0]
     leafs = jnp.concatenate([soa, jnp.zeros((tp, 7), jnp.float32)], axis=1)
     tid = jnp.stack([prim, jnp.zeros((tp,), jnp.int32)], axis=1)
 
-    return nodes, meta, leafs, tid
+    return nodes, meta8, leafs, tid
 
 
-def _kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz, dx, dy, dz,
-            tmax_ref, t_out, tri_out, u_out, v_out):
-    """One grid program: BLOCK rays (as (SUB, LANE) tiles) walk the tree."""
+def _kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz,
+            dx, dy, dz, tmax_ref, t_out, tri_out, u_out, v_out):
+    """One grid program: BLOCK rays (as (SUB, LANE) tiles) walk the tree.
+
+    oct_ref is the scalar-prefetch block->octant table; it already chose
+    this program's meta_ref block (one octant's (1, NN, 2) threaded links),
+    so the body never touches it."""
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
 
@@ -111,8 +126,8 @@ def _kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz, dx, dy, dz,
         row = nodes_ref[cursor, :]                  # (8,) scalar row read
         lo_x, lo_y, lo_z = row[0], row[1], row[2]
         hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = meta_ref[cursor, 0]
-        miss = meta_ref[cursor, 1]
+        col6 = meta_ref[0, cursor, 0]   # leaf: -(start+1); inner: first child
+        miss = meta_ref[0, cursor, 1]
 
         # vector slab test, scalar bounds broadcast over the ray block
         tx0 = (lo_x - o_x) * inv_x
@@ -175,7 +190,7 @@ def _kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz, dx, dy, dz,
             (t_best, tri_b, u_b, v_b))
 
         descend = any_want & ~is_leaf
-        cursor = jnp.where(descend, cursor + 1, miss)
+        cursor = jnp.where(descend, col6, miss)  # near child first
         return cursor, step + 1, t_best, tri_b, u_b, v_b
 
     init = (jnp.int32(0), jnp.int32(0), t_best0, tri0, uv0, uv0)
@@ -188,16 +203,21 @@ def _kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz, dx, dy, dz,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max, *, interpret=True):
+def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
     """Closest hit for N rays via packet traversal.  N padded to BLOCK.
 
+    meta8 is (K, NN, 2) per-octant threaded links (K = 8 ordered / 1 fixed,
+    pack_bvh_for_pallas); each grid program's octant slice is selected by
+    scalar-prefetch block indexing, so ordered (near-child-first)
+    traversal costs no extra VMEM — the pipeline DMAs one (NN, 2) table
+    per program.
+
     Returns (t, tri, u, v): t == t_max & tri == -1 where no hit.
-    On this machine's tunnel Mosaic cannot compile (interpret=True default,
-    see PERF.md); on a real TPU runtime pass interpret=False.
     """
     n = o.shape[0]
     n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     nb = n_pad // BLOCK
+    nn = meta8.shape[1]
 
     def pad(x, fill=0.0):
         return jnp.concatenate(
@@ -213,15 +233,33 @@ def packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max, *, interpret=True):
     tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
              -1.0).reshape(shape2)
 
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+    # block-representative octant (blocks are octant-pure after the
+    # caller's coherence sort; a mixed block gets a valid but suboptimally
+    # ordered DFS — correctness never depends on the octant choice)
+    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
+             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
+    if meta8.shape[0] == 1:
+        oct_b = jnp.zeros_like(oct_b)
+
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, oct_ref: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, nn, 2), lambda i, oct_ref: (oct_ref[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[table_spec, meta_spec, table_spec, table_spec]
+        + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+    )
 
     t, tri, u, v = pl.pallas_call(
         _kernel,
-        grid=(nb,),
-        in_specs=[table_spec] * 4 + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
@@ -229,7 +267,7 @@ def packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max, *, interpret=True):
             jax.ShapeDtypeStruct(shape2, jnp.float32),
         ],
         interpret=interpret,
-    )(nodes, meta, leafs, tid, ox, oy, oz, dx, dy, dz, tm)
+    )(oct_b, nodes, meta8, leafs, tid, ox, oy, oz, dx, dy, dz, tm)
 
     return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
             u.reshape(-1)[:n], v.reshape(-1)[:n])
@@ -246,6 +284,165 @@ def packet_closest_hit_trihit(bvh, o, d, t_max, *, interpret=True):
     b = jnp.stack([1.0 - u - v, u, v], axis=-1)
     return TriHit(hit=hit, t=jnp.where(hit, t, INFINITY),
                   tri=jnp.maximum(tri, 0), b=b)
+
+
+def _any_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz,
+                dx, dy, dz, tmax_ref, occ_out):
+    """Occlusion query: like _kernel but terminates the whole block as soon
+    as every ray is occluded or t-limited (the packet analogue of
+    IntersectP's early return, accelerator/BVHAccel.cpp:736-795)."""
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+    tm = tmax_ref[:]
+    occ0 = jnp.zeros((SUB, LANE), jnp.int32)
+
+    def cond(c):
+        cursor, step = c[0], c[1]
+        return (cursor >= 0) & (step < MAX_STEPS)
+
+    def body(c):
+        cursor, step, occ = c
+        row = nodes_ref[cursor, :]
+        lo_x, lo_y, lo_z = row[0], row[1], row[2]
+        hi_x, hi_y, hi_z = row[3], row[4], row[5]
+        col6 = meta_ref[0, cursor, 0]
+        miss = meta_ref[0, cursor, 1]
+
+        tx0 = (lo_x - o_x) * inv_x
+        tx1 = (hi_x - o_x) * inv_x
+        ty0 = (lo_y - o_y) * inv_y
+        ty1 = (hi_y - o_y) * inv_y
+        tz0 = (lo_z - o_z) * inv_z
+        tz1 = (hi_z - o_z) * inv_z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+        live = (occ == 0) & (tm > 0)
+        want = (tn <= tf) & (tf > 0) & (tn < tm) & live
+        any_want = jnp.any(want)
+        is_leaf = col6 < 0
+
+        def do_leaf(occ):
+            start = -col6 - 1
+
+            def leaf_iter(k, occ):
+                lr = leafs_ref[start + k, :]
+                tid = tid_ref[start + k, 0]
+                p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) > 1e-12
+                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                       & (u + v <= 1) & (t > 1e-5) & (t < tm))
+                return jnp.where(hit, 1, occ)
+
+            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
+
+        occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
+        all_done = jnp.all((occ == 1) | (tm <= 0))
+        descend = any_want & ~is_leaf
+        cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
+        return cursor, step + 1, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), jnp.int32(0), occ0))
+    occ_out[:] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
+    """Occlusion for N rays via the packet kernel; returns bool (N,)."""
+    n = o.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    nb = n_pad // BLOCK
+    nn = meta8.shape[1]
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    shape2 = (nb * SUB, LANE)
+    ox = pad(o[:, 0]).reshape(shape2)
+    oy = pad(o[:, 1]).reshape(shape2)
+    oz = pad(o[:, 2]).reshape(shape2)
+    dx = pad(d[:, 0], 1.0).reshape(shape2)
+    dy = pad(d[:, 1], 1.0).reshape(shape2)
+    dz = pad(d[:, 2], 1.0).reshape(shape2)
+    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+             -1.0).reshape(shape2)
+
+    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
+             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
+    if meta8.shape[0] == 1:
+        oct_b = jnp.zeros_like(oct_b)
+
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, oct_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, nn, 2), lambda i, oct_ref: (oct_ref[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[table_spec, meta_spec, table_spec, table_spec]
+        + [ray_spec] * 7,
+        out_specs=[ray_spec],
+    )
+
+    occ = pl.pallas_call(
+        _any_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.int32)],
+        interpret=interpret,
+    )(oct_b, nodes, meta8, leafs, tid, ox, oy, oz, dx, dy, dz, tm)[0]
+
+    return occ.reshape(-1)[:n] > 0
+
+
+def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
+    """Production Pallas occlusion query (shadow rays): coherence sort +
+    VMEM packet kernel with whole-block early-out.  Mirrors
+    ops/bvh.packet_any_hit_xla."""
+    from .bvh import ray_sort_perm
+
+    n = o.shape[0]
+    t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    if sort:
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
+                                  t_max=t_max)
+        o, d, t_max = o[perm], d[perm], t_max[perm]
+    nodes, meta8, leafs, tid = pack_bvh_for_pallas(bvh)
+    occ = packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max,
+                         interpret=interpret)
+    if sort:
+        occ = occ[inv]
+    return occ
 
 
 # Above this table budget Mosaic fails to place the packed tables in VMEM
@@ -270,7 +467,8 @@ def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
     n = o.shape[0]
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
-        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0])
+        perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
+                                  t_max=t_max)
         o, d, t_max = o[perm], d[perm], t_max[perm]
     nodes, meta, leafs, tid = pack_bvh_for_pallas(bvh)
     t, tri, u, v = packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max,

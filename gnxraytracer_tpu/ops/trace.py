@@ -133,9 +133,11 @@ def scene_occluded(scene, cfg, o, d, t_max):
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
                 mode = "stack"
-            if mode in ("packet", "pallas"):
-                # shadow casts use the XLA packet walk in pallas mode too
-                # (no Pallas any-hit kernel yet; early-out economics differ)
+            if mode == "pallas":
+                from .pallas_bvh import packet_any_hit_pallas
+
+                occ = occ | packet_any_hit_pallas(scene.bvh, o, d, t_max)
+            elif mode == "packet":
                 from .bvh import packet_any_hit_xla
 
                 occ = occ | packet_any_hit_xla(scene.bvh, o, d, t_max)

@@ -59,7 +59,10 @@ def render_chunk_sharded(scene, camera, sampler, cfg, mesh, sample_start, n_samp
                          hw)
         p_film, t_u, l_u = samplers_mod.camera_sample(sampler, pix, smp, cfg.width)
         o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-        L = path_mod.trace_paths(scene, cfg, sampler, pix, smp, o, d)
+        tracer = (path_mod.trace_paths_fast if cfg.fast_mis
+                  else path_mod.trace_paths)
+        out = tracer(scene, cfg, sampler, pix, smp, o, d)
+        L = out[0] if cfg.count_rays else out
         return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
 
     return run(scene, camera, sampler, pixel, cfg, sample_start, n_samples)

@@ -276,3 +276,59 @@ class TestPacketTraversalXLA:
         assert sorted(p.tolist()) == list(range(513))
         np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
                                       np.arange(513))
+
+
+class TestOctantLinks:
+    """Per-octant front-to-back threading (bvh.first8/miss8): each octant's
+    (first, miss) tables must encode a complete DFS of the same tree with
+    the near child (split-axis sign per the reference's dirIsNeg test,
+    BVHAccel.cpp:678-690) visited first."""
+
+    def test_walk_visits_every_node_once(self):
+        verts, idx = random_scene(300, 3)
+        tree = bvh_mod.build_bvh(verts, idx)
+        first8 = np.asarray(tree.first8)
+        miss8 = np.asarray(tree.miss8)
+        npr = np.asarray(tree.n_prims)
+        nn = len(npr)
+        for o in range(8):
+            seen = np.zeros(nn, bool)
+            cur, steps = 0, 0
+            while cur >= 0:
+                assert not seen[cur], f"octant {o}: node {cur} revisited"
+                seen[cur] = True
+                cur = first8[o, cur] if npr[cur] == 0 else miss8[o, cur]
+                steps += 1
+                assert steps <= 2 * nn
+            # the never-pruning walk (always descend at inner nodes) is the
+            # full Euler tour: it must visit every node exactly once
+            assert seen.all(), f"octant {o}: {np.count_nonzero(~seen)} unreached"
+        # near-child-first: for octant 0 (all directions positive) the
+        # first child of an inner node is the left child (node+1)
+        inner = npr == 0
+        off = np.asarray(tree.offset)
+        ax = np.asarray(tree.axis)
+        ids = np.nonzero(inner)[0]
+        np.testing.assert_array_equal(first8[0, ids], ids + 1)
+        # octant 7 (all negative): first child is the right child
+        np.testing.assert_array_equal(first8[7, ids], off[ids])
+        # mixed octant: depends on split axis sign bit
+        o = 0b010  # y negative
+        want = np.where(ax[ids] == 1, off[ids], ids + 1)
+        np.testing.assert_array_equal(first8[o, ids], want)
+
+    def test_full_walk_is_permutation_of_nodes(self):
+        verts, idx = random_scene(120, 9)
+        tree = bvh_mod.build_bvh(verts, idx)
+        first8 = np.asarray(tree.first8)
+        miss8 = np.asarray(tree.miss8)
+        npr = np.asarray(tree.n_prims)
+        nn = len(npr)
+        for o in (0, 3, 5, 7):
+            # simulate a never-pruning packet walk: enter every inner node
+            order = []
+            cur = 0
+            while cur >= 0 and len(order) <= 2 * nn:
+                order.append(cur)
+                cur = first8[o, cur] if npr[cur] == 0 else miss8[o, cur]
+            assert sorted(order) == list(range(nn))

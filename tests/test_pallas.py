@@ -151,3 +151,40 @@ class TestPallasProductionWrapper:
         verts, idx, _, _ = scene_and_rays(n_tris=40)
         bvh = bvh_mod.build_bvh(verts, idx)
         jax.jit(pb.pack_bvh_for_pallas)(bvh)  # must not raise
+
+    def test_any_hit_wrapper_matches_brute(self):
+        """packet_any_hit_pallas (shadow-ray occlusion) must agree with the
+        brute-force any-hit; sorted and unsorted paths."""
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import intersect
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, o, d = scene_and_rays(n_tris=150, n_rays=900, seed=11)
+        bvh = bvh_mod.build_bvh(verts, idx)
+        tmax = jnp.full(900, 1e30, jnp.float32)
+        brute = np.asarray(intersect.any_triangle_hit(
+            jnp.asarray(o), jnp.asarray(d), tmax, jnp.asarray(verts),
+            jnp.asarray(idx)))
+        for sort in (True, False):
+            occ = np.asarray(pb.packet_any_hit_pallas(
+                bvh, jnp.asarray(o), jnp.asarray(d), tmax, sort=sort,
+                interpret=True))
+            # epsilon-grazing rays may differ; require near-exact agreement
+            assert (occ != brute).sum() <= 4
+
+    def test_any_hit_respects_tmax(self):
+        """Occlusion must not report hits beyond t_max (shadow ray to a
+        light in front of the blocker)."""
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, o, d = scene_and_rays(n_tris=80, n_rays=600, seed=3)
+        bvh = bvh_mod.build_bvh(verts, idx)
+        far = np.asarray(pb.packet_any_hit_pallas(
+            bvh, jnp.asarray(o), jnp.asarray(d),
+            jnp.full(600, 1e30, jnp.float32), interpret=True))
+        near = np.asarray(pb.packet_any_hit_pallas(
+            bvh, jnp.asarray(o), jnp.asarray(d),
+            jnp.full(600, 1e-4, jnp.float32), interpret=True))
+        assert not near.any()
+        assert far.sum() > 0
