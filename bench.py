@@ -146,7 +146,8 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
         "mesh_bvh_mode": cfg.bvh_mode,
         "mesh_Mpaths_per_s": round(n_paths / wall / 1e6, 3),
         "mesh_wall_s_64spp": round(wall, 2),
-        "mesh_Mrays_per_s": round(float(nrays) / wall / 1e6, 1),
+        "mesh_Mrays_per_s": round(float(nrays) / wall / 1e6, 3),
+        "mesh_rays_per_path": round(float(nrays) / n_paths, 2),
     }
 
 

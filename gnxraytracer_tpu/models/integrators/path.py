@@ -156,7 +156,9 @@ def make_config(scene, width, height, spp, **kw):
         from ...ops.pallas_bvh import PALLAS_MAX_TRIS
 
         on_tpu = _jax.devices()[0].platform in ("tpu", "axon")
-        if on_tpu and int(scene.geom.triangles.shape[0]) <= PALLAS_MAX_TRIS:
+        small = int(scene.geom.triangles.shape[0]) <= PALLAS_MAX_TRIS
+        has_treelets = getattr(scene.bvh, "treelets", None) is not None
+        if on_tpu and (small or has_treelets):
             kw["bvh_mode"] = "pallas"
     return RenderCfg(
         width=width, height=height, spp=spp,

@@ -48,8 +48,9 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
 
     def depth_step(b, state):
         base = CAMERA_DIMS + b * dims_per_depth
+        # dead lanes cast with t_max = 0 (skipped by the packet walks)
         hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
-                                    jnp.full((n,), INFINITY))
+                                    jnp.where(state["alive"], INFINITY, 0.0))
         it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
         L = state["L"]
 
@@ -80,7 +81,8 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             f = f * absdot(ls.wi, it.ns)[..., None]
             can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
             so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
-            occ = trace.scene_occluded(scene, cfg, so, sd, st)
+            occ = trace.scene_occluded(scene, cfg, so, sd,
+                                       jnp.where(can, st, 0.0))
             contrib = state["beta"] * f * ls.li / jnp.maximum(ls.pdf, 1e-12)[..., None]
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
 
@@ -173,7 +175,8 @@ def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         node = counter[0]
         counter[0] += 1
         base = CAMERA_DIMS + node * dims_per_depth
-        hit = trace.scene_intersect(scene, cfg, o, d, jnp.full((n,), INFINITY))
+        hit = trace.scene_intersect(scene, cfg, o, d,
+                                    jnp.where(active, INFINITY, 0.0))
         it = trace.make_interaction(scene, cfg, o, d, hit)
         L = jnp.zeros((n, 3), jnp.float32)
         if cfg.has_area:
@@ -200,7 +203,8 @@ def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             f = f * absdot(ls.wi, it.ns)[..., None]
             can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
             so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
-            occ = trace.scene_occluded(scene, cfg, so, sd, st)
+            occ = trace.scene_occluded(scene, cfg, so, sd,
+                                       jnp.where(can, st, 0.0))
             contrib = f * ls.li / jnp.maximum(ls.pdf, 1e-12)[..., None]
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
         if depth + 1 < cfg.max_depth:

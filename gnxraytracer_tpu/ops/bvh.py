@@ -51,6 +51,10 @@ class BVH(NamedTuple):
     # falls back to the single fixed order.
     first8: jnp.ndarray = None  # (8, NN) int32
     miss8: jnp.ndarray = None   # (8, NN) int32
+    # Treelet decomposition for VMEM-resident Pallas traversal of meshes
+    # whose global tables exceed VMEM (ops/pallas_bvh.TreeletPack; built
+    # only when the mesh is over pallas_bvh.PALLAS_MAX_TRIS)
+    treelets: object = None
 
 
 # ---------------------------------------------------------------------------
@@ -135,10 +139,17 @@ def _finish_build(arrs, vertices, triangles):
     miss = _compute_miss_links(off, npr)
     soa = _pack_leaf_soa(vertices, triangles, order)
     first8, miss8 = _compute_octant_links(off, npr, ax)
+    treelets = None
+    n_tris = int((order >= 0).sum())
+    from .pallas_bvh import PALLAS_MAX_TRIS, build_treelets
+
+    if n_tris > PALLAS_MAX_TRIS:
+        treelets = build_treelets(off, npr, ax, lo, hi, order, soa,
+                                  first8, miss8)
     return BVH(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(off),
                jnp.asarray(npr), jnp.asarray(ax), jnp.asarray(order),
                jnp.asarray(miss), jnp.asarray(soa),
-               jnp.asarray(first8), jnp.asarray(miss8))
+               jnp.asarray(first8), jnp.asarray(miss8), treelets)
 
 
 def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):

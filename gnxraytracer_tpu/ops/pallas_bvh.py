@@ -31,6 +31,7 @@ TPU runtimes flip interpret=False.
 """
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -286,6 +287,420 @@ def packet_closest_hit_trihit(bvh, o, d, t_max, *, interpret=True):
                   tri=jnp.maximum(tri, 0), b=b)
 
 
+# ---------------------------------------------------------------------------
+# Treelet decomposition: Pallas packet traversal for meshes whose tables
+# exceed VMEM (> PALLAS_MAX_TRIS).  The SAH tree is cut into K subtrees of
+# <= cap prims each; the kernel runs a (ray-block, treelet) grid with the
+# treelet axis innermost, so each ray block's best-hit state stays resident
+# in VMEM across all K treelet walks (matmul-style output revisiting) and
+# each program's tables are one treelet — small enough for VMEM + double
+# buffering.  Subtree locality means most blocks kill most treelets at the
+# treelet root in one step.  This is the TPU analogue of two-level
+# (TLAS/BLAS) traversal.
+# ---------------------------------------------------------------------------
+
+TREELET_CAP = 16384  # prims per treelet: tables ~1.8 MB -> 2x-buffered fits
+
+
+class TreeletPack(NamedTuple):
+    nodes: jnp.ndarray  # (K, NNmax, 8) f32: lo.xyz hi.xyz pad pad
+    meta8: jnp.ndarray  # (K, 8, NNmax, 2) i32: per-octant links, local ids
+    leafs: jnp.ndarray  # (K, Tmax, 16) f32
+    tid: jnp.ndarray    # (K, Tmax, 2) i32
+
+
+def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
+                   cap=TREELET_CAP):
+    """Host-side (numpy) treelet cut + per-treelet table packing.
+
+    The depth-first layout makes every subtree a contiguous node range and
+    (because leaves emit prims in DFS order) a contiguous leaf-row range,
+    so each treelet is a rebased slice of the global tables: node links
+    shift by the subtree start; miss links that exit the subtree become -1
+    (the treelet walk ends; the next treelet continues the hit search).
+    """
+    nn = len(off)
+    pcount = np.zeros(nn, np.int64)
+    ncount = np.ones(nn, np.int64)
+    for i in range(nn - 1, -1, -1):  # children have larger ids in DFS layout
+        if npr[i] > 0:
+            pcount[i] = npr[i]
+        else:
+            l, r = i + 1, off[i]
+            pcount[i] = pcount[l] + pcount[r]
+            ncount[i] = 1 + ncount[l] + ncount[r]
+
+    roots = []
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if pcount[node] <= cap or npr[node] > 0:
+            roots.append(node)
+        else:
+            stack.append(off[node])
+            stack.append(node + 1)
+    roots.sort()
+
+    n_rows = leaf_soa.shape[0]
+    slices = []
+    for r in roots:
+        e = r + ncount[r]
+        leaf_off = off[r:e][npr[r:e] > 0]
+        row_lo = int(leaf_off.min())
+        # + LEAF_SIZE margin: the kernel reads LEAF_SIZE rows per leaf and
+        # may spill past a short leaf into the next rows (harmless extra
+        # triangle tests, same as the global walk)
+        row_hi = min(int(leaf_off.max()) + LEAF_SIZE, n_rows)
+        slices.append((r, e, row_lo, row_hi))
+
+    k_t = len(slices)
+    nn_max = max(e - r for r, e, _, _ in slices)
+    t_max_rows = max(rh - rl for _, _, rl, rh in slices)
+
+    nodes_t = np.zeros((k_t, nn_max, 8), np.float32)
+    meta_t = np.full((k_t, 8, nn_max, 2), -1, np.int32)
+    leafs_t = np.zeros((k_t, t_max_rows, 16), np.float32)
+    tid_t = np.full((k_t, t_max_rows, 2), -1, np.int32)
+
+    for kk, (r, e, rl, rh) in enumerate(slices):
+        m = e - r
+        nodes_t[kk, :m, 0:3] = lo[r:e]
+        nodes_t[kk, :m, 3:6] = hi[r:e]
+        leaf_local = npr[r:e] > 0
+        leaf_code = -(off[r:e] - rl + 1)
+        for o in range(8):
+            f = first8[o, r:e] - r
+            ms = miss8[o, r:e]
+            ms = np.where((ms >= r) & (ms < e), ms - r, -1)
+            meta_t[kk, o, :m, 0] = np.where(leaf_local, leaf_code, f)
+            meta_t[kk, o, :m, 1] = ms
+        rows = rh - rl
+        leafs_t[kk, :rows, :9] = leaf_soa[rl:rh]
+        tid_t[kk, :rows, 0] = prim_idx[rl:rh]
+
+    return TreeletPack(jnp.asarray(nodes_t), jnp.asarray(meta_t),
+                       jnp.asarray(leafs_t), jnp.asarray(tid_t))
+
+
+def _treelet_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref,
+                    ox, oy, oz, dx, dy, dz, tmax_ref,
+                    t_out, tri_out, u_out, v_out):
+    """Grid (nb, K), K innermost: walk treelet k for ray block i, carrying
+    the best-hit state in the resident output blocks across k."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        t_out[:] = tmax_ref[:]
+        tri_out[:] = jnp.full((SUB, LANE), -1, jnp.int32)
+        u_out[:] = jnp.zeros((SUB, LANE), jnp.float32)
+        v_out[:] = jnp.zeros((SUB, LANE), jnp.float32)
+
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+
+    def cond(c):
+        cursor, step = c[0], c[1]
+        return (cursor >= 0) & (step < MAX_STEPS)
+
+    def body(c):
+        cursor, step, t_best, tri_b, u_b, v_b = c
+        row = nodes_ref[0, cursor, :]
+        lo_x, lo_y, lo_z = row[0], row[1], row[2]
+        hi_x, hi_y, hi_z = row[3], row[4], row[5]
+        col6 = meta_ref[0, 0, cursor, 0]
+        miss = meta_ref[0, 0, cursor, 1]
+
+        tx0 = (lo_x - o_x) * inv_x
+        tx1 = (hi_x - o_x) * inv_x
+        ty0 = (lo_y - o_y) * inv_y
+        ty1 = (hi_y - o_y) * inv_y
+        tz0 = (lo_z - o_z) * inv_z
+        tz1 = (hi_z - o_z) * inv_z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+        want = (tn <= tf) & (tf > 0) & (tn < t_best)
+        any_want = jnp.any(want)
+        is_leaf = col6 < 0
+
+        def do_leaf(args):
+            t_best, tri_b, u_b, v_b = args
+            start = -col6 - 1
+
+            def leaf_iter(kk, inner):
+                t_best, tri_b, u_b, v_b = inner
+                lr = leafs_ref[0, start + kk, :]
+                tid = tid_ref[0, start + kk, 0]
+                p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) > 1e-12
+                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                         & (u + v <= 1) & (t > 1e-5) & (t < t_best))
+                t_best = jnp.where(valid, t, t_best)
+                tri_b = jnp.where(valid, tid, tri_b)
+                u_b = jnp.where(valid, u, u_b)
+                v_b = jnp.where(valid, v, v_b)
+                return t_best, tri_b, u_b, v_b
+
+            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
+                                     (t_best, tri_b, u_b, v_b))
+
+        t_best, tri_b, u_b, v_b = jax.lax.cond(
+            any_want & is_leaf, do_leaf, lambda a: a,
+            (t_best, tri_b, u_b, v_b))
+
+        descend = any_want & ~is_leaf
+        cursor = jnp.where(descend, col6, miss)
+        return cursor, step + 1, t_best, tri_b, u_b, v_b
+
+    init = (jnp.int32(0), jnp.int32(0), t_out[:], tri_out[:],
+            u_out[:], v_out[:])
+    _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
+    t_out[:] = t_best
+    tri_out[:] = tri_b
+    u_out[:] = u_b
+    v_out[:] = v_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def treelet_closest_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
+    """Closest hit over K treelets; (nb, K) grid with resident outputs."""
+    n = o.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    nb = n_pad // BLOCK
+    k_t, nn_max = tl.nodes.shape[0], tl.nodes.shape[1]
+    t_rows = tl.leafs.shape[1]
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    shape2 = (nb * SUB, LANE)
+    ox = pad(o[:, 0]).reshape(shape2)
+    oy = pad(o[:, 1]).reshape(shape2)
+    oz = pad(o[:, 2]).reshape(shape2)
+    dx = pad(d[:, 0], 1.0).reshape(shape2)
+    dy = pad(d[:, 1], 1.0).reshape(shape2)
+    dz = pad(d[:, 2], 1.0).reshape(shape2)
+    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+             -1.0).reshape(shape2)
+
+    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
+             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
+
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, k, oct_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+    nodes_spec = pl.BlockSpec((1, nn_max, 8), lambda i, k, oct_ref: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, nn_max, 2),
+                             lambda i, k, oct_ref: (k, oct_ref[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+    leafs_spec = pl.BlockSpec((1, t_rows, 16), lambda i, k, oct_ref: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tid_spec = pl.BlockSpec((1, t_rows, 2), lambda i, k, oct_ref: (k, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, k_t),  # K innermost: output blocks stay resident
+        in_specs=[nodes_spec, meta_spec, leafs_spec, tid_spec]
+        + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+    )
+
+    t, tri, u, v = pl.pallas_call(
+        _treelet_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+        ],
+        interpret=interpret,
+    )(oct_b, tl.nodes, tl.meta8, tl.leafs, tl.tid,
+      ox, oy, oz, dx, dy, dz, tm)
+
+    return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
+            u.reshape(-1)[:n], v.reshape(-1)[:n])
+
+
+def _treelet_any_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref,
+                        ox, oy, oz, dx, dy, dz, tmax_ref, occ_out):
+    """Occlusion over the (nb, K) treelet grid: occ carried in the resident
+    output block; a block already fully occluded skips treelet k at step 0."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        occ_out[:] = jnp.zeros((SUB, LANE), jnp.int32)
+
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-20, 1e-20)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+    tm = tmax_ref[:]
+
+    def cond(c):
+        cursor, step = c[0], c[1]
+        return (cursor >= 0) & (step < MAX_STEPS)
+
+    def body(c):
+        cursor, step, occ = c
+        row = nodes_ref[0, cursor, :]
+        lo_x, lo_y, lo_z = row[0], row[1], row[2]
+        hi_x, hi_y, hi_z = row[3], row[4], row[5]
+        col6 = meta_ref[0, 0, cursor, 0]
+        miss = meta_ref[0, 0, cursor, 1]
+
+        tx0 = (lo_x - o_x) * inv_x
+        tx1 = (hi_x - o_x) * inv_x
+        ty0 = (lo_y - o_y) * inv_y
+        ty1 = (hi_y - o_y) * inv_y
+        tz0 = (lo_z - o_z) * inv_z
+        tz1 = (hi_z - o_z) * inv_z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+        live = (occ == 0) & (tm > 0)
+        want = (tn <= tf) & (tf > 0) & (tn < tm) & live
+        any_want = jnp.any(want)
+        is_leaf = col6 < 0
+
+        def do_leaf(occ):
+            start = -col6 - 1
+
+            def leaf_iter(kk, occ):
+                lr = leafs_ref[0, start + kk, :]
+                tid = tid_ref[0, start + kk, 0]
+                p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) > 1e-12
+                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                       & (u + v <= 1) & (t > 1e-5) & (t < tm))
+                return jnp.where(hit, 1, occ)
+
+            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
+
+        occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
+        all_done = jnp.all((occ == 1) | (tm <= 0))
+        descend = any_want & ~is_leaf
+        cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
+        return cursor, step + 1, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body,
+                                   (jnp.int32(0), jnp.int32(0), occ_out[:]))
+    occ_out[:] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def treelet_any_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
+    """Occlusion over K treelets; returns bool (N,)."""
+    n = o.shape[0]
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    nb = n_pad // BLOCK
+    k_t, nn_max = tl.nodes.shape[0], tl.nodes.shape[1]
+    t_rows = tl.leafs.shape[1]
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    shape2 = (nb * SUB, LANE)
+    ox = pad(o[:, 0]).reshape(shape2)
+    oy = pad(o[:, 1]).reshape(shape2)
+    oz = pad(o[:, 2]).reshape(shape2)
+    dx = pad(d[:, 0], 1.0).reshape(shape2)
+    dy = pad(d[:, 1], 1.0).reshape(shape2)
+    dz = pad(d[:, 2], 1.0).reshape(shape2)
+    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
+             -1.0).reshape(shape2)
+
+    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
+             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
+             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
+
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, k, oct_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+    nodes_spec = pl.BlockSpec((1, nn_max, 8), lambda i, k, oct_ref: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((1, 1, nn_max, 2),
+                             lambda i, k, oct_ref: (k, oct_ref[i], 0, 0),
+                             memory_space=pltpu.VMEM)
+    leafs_spec = pl.BlockSpec((1, t_rows, 16), lambda i, k, oct_ref: (k, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tid_spec = pl.BlockSpec((1, t_rows, 2), lambda i, k, oct_ref: (k, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, k_t),
+        in_specs=[nodes_spec, meta_spec, leafs_spec, tid_spec]
+        + [ray_spec] * 7,
+        out_specs=[ray_spec],
+    )
+
+    occ = pl.pallas_call(
+        _treelet_any_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.int32)],
+        interpret=interpret,
+    )(oct_b, tl.nodes, tl.meta8, tl.leafs, tl.tid,
+      ox, oy, oz, dx, dy, dz, tm)[0]
+
+    return occ.reshape(-1)[:n] > 0
+
+
 def _any_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz,
                 dx, dy, dz, tmax_ref, occ_out):
     """Occlusion query: like _kernel but terminates the whole block as soon
@@ -437,9 +852,12 @@ def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
                                   t_max=t_max)
         o, d, t_max = o[perm], d[perm], t_max[perm]
-    nodes, meta8, leafs, tid = pack_bvh_for_pallas(bvh)
-    occ = packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max,
-                         interpret=interpret)
+    if bvh.treelets is not None:
+        occ = treelet_any_hit(bvh.treelets, o, d, t_max, interpret=interpret)
+    else:
+        nodes, meta8, leafs, tid = pack_bvh_for_pallas(bvh)
+        occ = packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max,
+                             interpret=interpret)
     if sort:
         occ = occ[inv]
     return occ
@@ -470,9 +888,13 @@ def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
                                   t_max=t_max)
         o, d, t_max = o[perm], d[perm], t_max[perm]
-    nodes, meta, leafs, tid = pack_bvh_for_pallas(bvh)
-    t, tri, u, v = packet_closest_hit(nodes, meta, leafs, tid, o, d, t_max,
-                                      interpret=interpret)
+    if bvh.treelets is not None:
+        t, tri, u, v = treelet_closest_hit(bvh.treelets, o, d, t_max,
+                                           interpret=interpret)
+    else:
+        nodes, meta, leafs, tid = pack_bvh_for_pallas(bvh)
+        t, tri, u, v = packet_closest_hit(nodes, meta, leafs, tid, o, d,
+                                          t_max, interpret=interpret)
     if sort:
         t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
     hit = tri >= 0

@@ -51,21 +51,25 @@ def render_chunk_sharded(scene, camera, sampler, cfg, mesh, sample_start, n_samp
     scene = jax.device_put(scene, _replicated(mesh))
     camera = jax.device_put(camera, _replicated(mesh))
     sampler = jax.device_put(sampler, _replicated(mesh))
+    return _run_sharded(scene, camera, sampler, pixel, cfg, sample_start,
+                        n_samples)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
-    def run(scene, camera, sampler, pixel, cfg, sample_start, n_samples):
-        pix = jnp.tile(pixel, (n_samples,))
-        smp = jnp.repeat(sample_start + jnp.arange(n_samples, dtype=jnp.int32),
-                         hw)
-        p_film, t_u, l_u = samplers_mod.camera_sample(sampler, pix, smp, cfg.width)
-        o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-        tracer = (path_mod.trace_paths_fast if cfg.fast_mis
-                  else path_mod.trace_paths)
-        out = tracer(scene, cfg, sampler, pix, smp, o, d)
-        L = out[0] if cfg.count_rays else out
-        return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
 
-    return run(scene, camera, sampler, pixel, cfg, sample_start, n_samples)
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _run_sharded(scene, camera, sampler, pixel, cfg, sample_start, n_samples):
+    # module-level jit: repeat calls reuse the compiled executable (a
+    # closure-local jit would recompile on every render_chunk_sharded call)
+    hw = cfg.width * cfg.height
+    pix = jnp.tile(pixel, (n_samples,))
+    smp = jnp.repeat(sample_start + jnp.arange(n_samples, dtype=jnp.int32),
+                     hw)
+    p_film, t_u, l_u = samplers_mod.camera_sample(sampler, pix, smp, cfg.width)
+    o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
+    tracer = (path_mod.trace_paths_fast if cfg.fast_mis
+              else path_mod.trace_paths)
+    out = tracer(scene, cfg, sampler, pix, smp, o, d)
+    L = out[0] if cfg.count_rays else out
+    return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
 
 
 def render_sharded(scene, camera, sampler, cfg, mesh):

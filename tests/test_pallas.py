@@ -188,3 +188,82 @@ class TestPallasProductionWrapper:
             jnp.full(600, 1e-4, jnp.float32), interpret=True))
         assert not near.any()
         assert far.sum() > 0
+
+
+class TestTreelets:
+    """Two-level (treelet) Pallas traversal for meshes over the VMEM cap:
+    the tree is cut into <= cap-prim subtrees and the kernel runs a
+    (ray-block, treelet) grid carrying best-hit state in the resident
+    output blocks."""
+
+    def _cut(self, n_tris=900, cap=128, seed=21):
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, o, d = scene_and_rays(n_tris=n_tris, n_rays=1100,
+                                          seed=seed)
+        tree = bvh_mod.build_bvh(verts, idx)
+        tl = pb.build_treelets(
+            np.asarray(tree.offset), np.asarray(tree.n_prims),
+            np.asarray(tree.axis), np.asarray(tree.bounds_lo),
+            np.asarray(tree.bounds_hi), np.asarray(tree.prim_idx),
+            np.asarray(tree.leaf_soa), np.asarray(tree.first8),
+            np.asarray(tree.miss8), cap=cap)
+        return tree, tl, o, d
+
+    def test_closest_matches_xla_packet(self):
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        tree, tl, o, d = self._cut()
+        assert tl.nodes.shape[0] >= 4  # the cut actually split the tree
+        tmax = jnp.full(1100, 1e30, jnp.float32)
+        t, tri, u, v = pb.treelet_closest_hit(tl, jnp.asarray(o),
+                                              jnp.asarray(d), tmax,
+                                              interpret=True)
+        hx = bvh_mod.packet_closest_hit_xla(tree, jnp.asarray(o),
+                                            jnp.asarray(d), tmax)
+        np.testing.assert_array_equal(np.asarray(tri >= 0),
+                                      np.asarray(hx.hit))
+        both = np.asarray(tri >= 0)
+        np.testing.assert_allclose(np.asarray(t)[both],
+                                   np.asarray(hx.t)[both], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tri)[both],
+                                      np.asarray(hx.tri)[both])
+
+    def test_any_hit_matches_brute(self):
+        from gnxraytracer_tpu.ops import intersect
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        tree, tl, o, d = self._cut(seed=5)
+        tmax = jnp.full(1100, 1e30, jnp.float32)
+        occ = np.asarray(pb.treelet_any_hit(tl, jnp.asarray(o),
+                                            jnp.asarray(d), tmax,
+                                            interpret=True))
+        verts_t = tree.leaf_soa  # brute from original arrays instead:
+        # use the packet XLA any-hit as the oracle (itself brute-checked)
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+
+        ox = np.asarray(bvh_mod.packet_any_hit_xla(tree, jnp.asarray(o),
+                                                   jnp.asarray(d), tmax))
+        assert (occ != ox).sum() <= 4
+
+    def test_tmax_respected(self):
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        tree, tl, o, d = self._cut(seed=9)
+        near = np.asarray(pb.treelet_any_hit(
+            tl, jnp.asarray(o), jnp.asarray(d),
+            jnp.full(1100, 1e-4, jnp.float32), interpret=True))
+        assert not near.any()
+
+    def test_dead_lanes_skip(self):
+        """t_max <= 0 lanes must return no hit through the treelet path."""
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        tree, tl, o, d = self._cut(seed=13)
+        tm = jnp.full(1100, 1e30, jnp.float32).at[::2].set(0.0)
+        t, tri, u, v = pb.treelet_closest_hit(tl, jnp.asarray(o),
+                                              jnp.asarray(d), tm,
+                                              interpret=True)
+        assert not (np.asarray(tri)[::2] >= 0).any()

@@ -64,11 +64,11 @@ def timed(fn, reps=3):
 
 def bench_one(width, height, spp_chunk, mesh, unsharded=False):
     scene, cam = presets.cornell_box(width=width, height=height)
-    # depth 4 keeps the 8-virtual-device CPU compile tractable on the
+    # depth 3 keeps the 8-virtual-device CPU compile tractable on the
     # 2-core builder host; retention is about partitioning overhead, not
     # estimator depth
     cfg = path.make_config(scene, width, height, spp=spp_chunk,
-                           max_depth=4, spp_chunk=spp_chunk,
+                           max_depth=3, spp_chunk=spp_chunk,
                            fast_mis=True, rr_threshold=1.0)
     smp = samplers.make_sobol_sampler(spp_chunk)
     if unsharded:
@@ -103,23 +103,27 @@ def main():
         }))
         return
 
-    # CPU virtual devices: weak scaling, DEV_H rows per device
-    DEV_H, W, CHUNK = 16, 64, 2
+    # CPU virtual devices share the 2 physical cores, so per-DEVICE
+    # throughput necessarily drops ~1/n — the meaningful signal is
+    # per-PATH cost: with zero partitioning overhead, total work scales
+    # linearly and cost-per-path stays flat as the mesh grows.
+    # partition_efficiency = per-path cost at 1 device / at n devices.
+    DEV_H, W, CHUNK = 16, 32, 2
     base = None
     for nd in (1, 2, 4, 8):
         if nd > len(jax.devices()):
             break
         mesh = sharding.make_mesh(nd)
         wall, _ = bench_one(W, DEV_H * nd, CHUNK, mesh)
-        per_dev = DEV_H * W * CHUNK / wall / 1e6
+        per_path_us = wall / (DEV_H * nd * W * CHUNK) * 1e6
         if base is None:
-            base = per_dev
+            base = per_path_us
         print(json.dumps({
             "metric": "weak_scaling_virtual_cpu",
             "n_devices": nd,
-            "wall_s": round(wall, 3),
-            "per_device_Mpaths_per_s": round(per_dev, 4),
-            "retention_vs_1dev": round(per_dev / base, 4),
+            "wall_s": round(wall, 4),
+            "us_per_path": round(per_path_us, 3),
+            "partition_efficiency_vs_1dev": round(base / per_path_us, 4),
         }))
 
 
