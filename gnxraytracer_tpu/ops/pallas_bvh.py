@@ -17,17 +17,23 @@ a vector core.  Two TPU-native replacements exist in this codebase:
     nearly the per-ray-optimal node set; fully divergent packets degrade
     toward visiting the union of per-ray node sets.
 
-Data layout (see pack_bvh_for_pallas):
-  nodes  (NN, 8) f32 : lo.xyz, hi.xyz, bitcast(meta0), bitcast(meta1)
-                       meta0 = n_prims == 0 ? first-child : leaf prim start
-                       meta1 = miss link (int32, -1 terminates)
-                       n_prims encoded by sign: meta0 >= 0 & leaf flag in
-                       high bit of meta1?  -- simpler: meta packed below.
-  leafs  (Tp, 16) f32: p0.xyz p1.xyz p2.xyz, pad, bitcast(tri_id), pad...
+Data layout (see pack_bvh_for_pallas): nodes (NN, 8) f32 bounds rows,
+meta8 (K_oct, NN, 2) i32 per-octant threaded links (flattened for the
+kernel; octant selected by a scalar base offset from a per-block SMEM
+input), leafs (Tp, 16) f32 triangle rows, tid (Tp, 2) i32.
 
-Mosaic on this machine's tunnel cannot compile custom kernels (PERF.md),
-so the kernel is validated in interpret mode against the XLA walk; on real
-TPU runtimes flip interpret=False.
+Two hard-won Mosaic constraints (both measured on v5e, PERF.md round 2):
+  * narrow BLOCKED specs lane-pad to 128 (a (1, NN, 2) meta block costs
+    NN*128*4 B of VMEM) — tables must be FULL-ARRAY VMEM residents;
+  * PrefetchScalarGridSpec de-pipelines the outputs (full (NB*8, 128)
+    arrays get S(1) VMEM allocations -> scoped OOM) — per-block scalars
+    travel as a tiny SMEM input under a plain grid instead.
+
+Meshes whose tables exceed VMEM run the treelet path (build_treelets /
+treelet_closest_hit): K chained kernel launches over <=16k-prim subtrees.
+
+Compiled and benchmarked on real TPU (v5e) — production
+scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas".
 """
 
 import functools
@@ -64,9 +70,9 @@ def pack_bvh_for_pallas(bvh):
     leafs (Tp, 16) f32 : p0 p1 p2 (9 floats) + pad
     tid   (Tp, 2)  i32 : triangle id + pad
 
-    The kernel receives ONE (NN, 2) octant slice of meta8 per grid program
-    via scalar-prefetch block selection, so the per-octant tables cost no
-    extra VMEM.
+    The kernel holds the FLATTENED (K*NN, 2) meta8 in VMEM and selects the
+    block's octant with a scalar base offset (per-octant meta is only
+    8 B/node, so full residency of all 8 orders is cheap).
     """
     # Pure jnp (traceable): callable inside jit, where XLA hoists the pack
     # as loop-invariant — so production scene_intersect can call it per cast.
@@ -98,109 +104,115 @@ def pack_bvh_for_pallas(bvh):
     return nodes, meta8, leafs, tid
 
 
-def _kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz,
-            dx, dy, dz, tmax_ref, t_out, tri_out, u_out, v_out):
-    """One grid program: BLOCK rays (as (SUB, LANE) tiles) walk the tree.
+def _make_kernel(nn):
+    """Closest-hit kernel over a threaded tree of nn nodes.  All tables are
+    FULL-ARRAY VMEM residents — blocked table specs with a trailing dim of
+    8/16 get lane-padded to 128 by Mosaic (measured: 21.65 MB scoped VMEM
+    for a 1.3 MB table set), so per-octant selection is a scalar base
+    offset into the flattened (K_oct*NN, 2) meta table instead of a
+    per-program block fetch."""
 
-    oct_ref is the scalar-prefetch block->octant table; it already chose
-    this program's meta_ref block (one octant's (1, NN, 2) threaded links),
-    so the body never touches it."""
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    def kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, oct_ref, ox, oy, oz,
+               dx, dy, dz, tmax_ref, t_out, tri_out, u_out, v_out):
+        base = oct_ref[pl.program_id(0), 0] * nn
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
 
-    def safe_inv(v):
-        tiny = jnp.where(v < 0, -1e-20, 1e-20)
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+        def safe_inv(v):
+            tiny = jnp.where(v < 0, -1e-20, 1e-20)
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
 
-    t_best0 = tmax_ref[:]
-    tri0 = jnp.full((SUB, LANE), -1, jnp.int32)
-    uv0 = jnp.zeros((SUB, LANE), jnp.float32)
+        t_best0 = tmax_ref[:]
+        tri0 = jnp.full((SUB, LANE), -1, jnp.int32)
+        uv0 = jnp.zeros((SUB, LANE), jnp.float32)
 
-    def cond(c):
-        cursor, step = c[0], c[1]
-        return (cursor >= 0) & (step < MAX_STEPS)
+        def cond(c):
+            cursor, step = c[0], c[1]
+            return (cursor >= 0) & (step < MAX_STEPS)
 
-    def body(c):
-        cursor, step, t_best, tri_b, u_b, v_b = c
-        row = nodes_ref[cursor, :]                  # (8,) scalar row read
-        lo_x, lo_y, lo_z = row[0], row[1], row[2]
-        hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = meta_ref[0, cursor, 0]   # leaf: -(start+1); inner: first child
-        miss = meta_ref[0, cursor, 1]
+        def body(c):
+            cursor, step, t_best, tri_b, u_b, v_b = c
+            row = nodes_ref[cursor, :]              # (8,) scalar row read
+            lo_x, lo_y, lo_z = row[0], row[1], row[2]
+            hi_x, hi_y, hi_z = row[3], row[4], row[5]
+            col6 = meta_ref[base + cursor, 0]  # leaf -(start+1) | first child
+            miss = meta_ref[base + cursor, 1]
 
-        # vector slab test, scalar bounds broadcast over the ray block
-        tx0 = (lo_x - o_x) * inv_x
-        tx1 = (hi_x - o_x) * inv_x
-        ty0 = (lo_y - o_y) * inv_y
-        ty1 = (hi_y - o_y) * inv_y
-        tz0 = (lo_z - o_z) * inv_z
-        tz1 = (hi_z - o_z) * inv_z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                     jnp.maximum(ty0, ty1)),
-                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-        want = (tn <= tf) & (tf > 0) & (tn < t_best)
-        any_want = jnp.any(want)
+            # vector slab test, scalar bounds broadcast over the ray block
+            tx0 = (lo_x - o_x) * inv_x
+            tx1 = (hi_x - o_x) * inv_x
+            ty0 = (lo_y - o_y) * inv_y
+            ty1 = (hi_y - o_y) * inv_y
+            tz0 = (lo_z - o_z) * inv_z
+            tz1 = (hi_z - o_z) * inv_z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+            want = (tn <= tf) & (tf > 0) & (tn < t_best)
+            any_want = jnp.any(want)
 
-        is_leaf = col6 < 0
+            is_leaf = col6 < 0
 
-        def do_leaf(args):
-            t_best, tri_b, u_b, v_b = args
-            start = -col6 - 1
+            def do_leaf(args):
+                t_best, tri_b, u_b, v_b = args
+                start = -col6 - 1
 
-            def leaf_iter(k, inner):
-                t_best, tri_b, u_b, v_b = inner
-                lr = leafs_ref[start + k, :]
-                tid = tid_ref[start + k, 0]
-                p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                # Moller-Trumbore, scalar triangle vs vector rays
-                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                pvx = d_y * e2z - d_z * e2y
-                pvy = d_z * e2x - d_x * e2z
-                pvz = d_x * e2y - d_y * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) > 1e-12
-                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                         & (u + v <= 1) & (t > 1e-5) & (t < t_best))
-                t_best = jnp.where(valid, t, t_best)
-                tri_b = jnp.where(valid, tid, tri_b)
-                u_b = jnp.where(valid, u, u_b)
-                v_b = jnp.where(valid, v, v_b)
-                return t_best, tri_b, u_b, v_b
+                def leaf_iter(k, inner):
+                    t_best, tri_b, u_b, v_b = inner
+                    lr = leafs_ref[start + k, :]
+                    tid = tid_ref[start + k, 0]
+                    p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                    p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                    p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                    # Moller-Trumbore, scalar triangle vs vector rays
+                    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                    pvx = d_y * e2z - d_z * e2y
+                    pvy = d_z * e2x - d_x * e2z
+                    pvz = d_x * e2y - d_y * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) > 1e-12
+                    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                    tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                             & (u + v <= 1) & (t > 1e-5) & (t < t_best))
+                    t_best = jnp.where(valid, t, t_best)
+                    tri_b = jnp.where(valid, tid, tri_b)
+                    u_b = jnp.where(valid, u, u_b)
+                    v_b = jnp.where(valid, v, v_b)
+                    return t_best, tri_b, u_b, v_b
 
-            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
-                                     (t_best, tri_b, u_b, v_b))
+                return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
+                                         (t_best, tri_b, u_b, v_b))
 
-        t_best, tri_b, u_b, v_b = jax.lax.cond(
-            any_want & is_leaf, do_leaf, lambda a: a,
-            (t_best, tri_b, u_b, v_b))
+            t_best, tri_b, u_b, v_b = jax.lax.cond(
+                any_want & is_leaf, do_leaf, lambda a: a,
+                (t_best, tri_b, u_b, v_b))
 
-        descend = any_want & ~is_leaf
-        cursor = jnp.where(descend, col6, miss)  # near child first
-        return cursor, step + 1, t_best, tri_b, u_b, v_b
+            descend = any_want & ~is_leaf
+            cursor = jnp.where(descend, col6, miss)  # near child first
+            return cursor, step + 1, t_best, tri_b, u_b, v_b
 
-    init = (jnp.int32(0), jnp.int32(0), t_best0, tri0, uv0, uv0)
-    _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
+        init = (jnp.int32(0), jnp.int32(0), t_best0, tri0, uv0, uv0)
+        _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
 
-    t_out[:] = t_best
-    tri_out[:] = tri_b
-    u_out[:] = u_b
-    v_out[:] = v_b
+        t_out[:] = t_best
+        tri_out[:] = tri_b
+        u_out[:] = u_b
+        v_out[:] = v_b
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -208,10 +220,11 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
     """Closest hit for N rays via packet traversal.  N padded to BLOCK.
 
     meta8 is (K, NN, 2) per-octant threaded links (K = 8 ordered / 1 fixed,
-    pack_bvh_for_pallas); each grid program's octant slice is selected by
-    scalar-prefetch block indexing, so ordered (near-child-first)
-    traversal costs no extra VMEM — the pipeline DMAs one (NN, 2) table
-    per program.
+    pack_bvh_for_pallas); it is flattened to (K*NN, 2) and each grid
+    program indexes its block's octant via a scalar base offset (the
+    scalar-prefetch oct table) — per-octant meta is small (8 B/node), and
+    full-array residency avoids Mosaic's lane padding of narrow blocked
+    specs (see _make_kernel).
 
     Returns (t, tri, u, v): t == t_max & tri == -1 where no hit.
     """
@@ -243,24 +256,20 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
              | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
     if meta8.shape[0] == 1:
         oct_b = jnp.zeros_like(oct_b)
+    oct_b = oct_b[:, None]  # SMEM scalars must be 2D
 
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, oct_ref: (i, 0),
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, nn, 2), lambda i, oct_ref: (oct_ref[i], 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[table_spec, meta_spec, table_spec, table_spec]
-        + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
-    )
+    # whole (NB, 1) table in SMEM (blocks must tile (8,128) or equal
+    # the array; a few KB of SMEM is fine), indexed by program_id
+    oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     t, tri, u, v = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
+        _make_kernel(nn),
+        grid=(nb,),
+        in_specs=[table_spec] * 4 + [oct_spec] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
@@ -268,7 +277,8 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
             jax.ShapeDtypeStruct(shape2, jnp.float32),
         ],
         interpret=interpret,
-    )(oct_b, nodes, meta8, leafs, tid, ox, oy, oz, dx, dy, dz, tm)
+    )(nodes, meta8.reshape(-1, 2), leafs, tid, oct_b,
+      ox, oy, oz, dx, dy, dz, tm)
 
     return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
             u.reshape(-1)[:n], v.reshape(-1)[:n])
@@ -382,409 +392,138 @@ def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
                        jnp.asarray(leafs_t), jnp.asarray(tid_t))
 
 
-def _treelet_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref,
-                    ox, oy, oz, dx, dy, dz, tmax_ref,
-                    t_out, tri_out, u_out, v_out):
-    """Grid (nb, K), K innermost: walk treelet k for ray block i, carrying
-    the best-hit state in the resident output blocks across k."""
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        t_out[:] = tmax_ref[:]
-        tri_out[:] = jnp.full((SUB, LANE), -1, jnp.int32)
-        u_out[:] = jnp.zeros((SUB, LANE), jnp.float32)
-        v_out[:] = jnp.zeros((SUB, LANE), jnp.float32)
-
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-
-    def safe_inv(v):
-        tiny = jnp.where(v < 0, -1e-20, 1e-20)
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
-
-    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
-
-    def cond(c):
-        cursor, step = c[0], c[1]
-        return (cursor >= 0) & (step < MAX_STEPS)
-
-    def body(c):
-        cursor, step, t_best, tri_b, u_b, v_b = c
-        row = nodes_ref[0, cursor, :]
-        lo_x, lo_y, lo_z = row[0], row[1], row[2]
-        hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = meta_ref[0, 0, cursor, 0]
-        miss = meta_ref[0, 0, cursor, 1]
-
-        tx0 = (lo_x - o_x) * inv_x
-        tx1 = (hi_x - o_x) * inv_x
-        ty0 = (lo_y - o_y) * inv_y
-        ty1 = (hi_y - o_y) * inv_y
-        tz0 = (lo_z - o_z) * inv_z
-        tz1 = (hi_z - o_z) * inv_z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                     jnp.maximum(ty0, ty1)),
-                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-        want = (tn <= tf) & (tf > 0) & (tn < t_best)
-        any_want = jnp.any(want)
-        is_leaf = col6 < 0
-
-        def do_leaf(args):
-            t_best, tri_b, u_b, v_b = args
-            start = -col6 - 1
-
-            def leaf_iter(kk, inner):
-                t_best, tri_b, u_b, v_b = inner
-                lr = leafs_ref[0, start + kk, :]
-                tid = tid_ref[0, start + kk, 0]
-                p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                pvx = d_y * e2z - d_z * e2y
-                pvy = d_z * e2x - d_x * e2z
-                pvz = d_x * e2y - d_y * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) > 1e-12
-                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                         & (u + v <= 1) & (t > 1e-5) & (t < t_best))
-                t_best = jnp.where(valid, t, t_best)
-                tri_b = jnp.where(valid, tid, tri_b)
-                u_b = jnp.where(valid, u, u_b)
-                v_b = jnp.where(valid, v, v_b)
-                return t_best, tri_b, u_b, v_b
-
-            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
-                                     (t_best, tri_b, u_b, v_b))
-
-        t_best, tri_b, u_b, v_b = jax.lax.cond(
-            any_want & is_leaf, do_leaf, lambda a: a,
-            (t_best, tri_b, u_b, v_b))
-
-        descend = any_want & ~is_leaf
-        cursor = jnp.where(descend, col6, miss)
-        return cursor, step + 1, t_best, tri_b, u_b, v_b
-
-    init = (jnp.int32(0), jnp.int32(0), t_out[:], tri_out[:],
-            u_out[:], v_out[:])
-    _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
-    t_out[:] = t_best
-    tri_out[:] = tri_b
-    u_out[:] = u_b
-    v_out[:] = v_b
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def treelet_closest_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
-    """Closest hit over K treelets; (nb, K) grid with resident outputs."""
+    """Closest hit over K treelets: K chained packet kernels, each with
+    VMEM-sized full-array tables (the layout proven to compile on chip —
+    see _make_kernel on Mosaic's lane padding of narrow blocked specs).
+    The running best t feeds the next treelet's t_max, so earlier treelets
+    prune later walks; blocks that miss a treelet's root exit in one step."""
     n = o.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
-    nb = n_pad // BLOCK
-    k_t, nn_max = tl.nodes.shape[0], tl.nodes.shape[1]
-    t_rows = tl.leafs.shape[1]
-
-    def pad(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
-
-    shape2 = (nb * SUB, LANE)
-    ox = pad(o[:, 0]).reshape(shape2)
-    oy = pad(o[:, 1]).reshape(shape2)
-    oz = pad(o[:, 2]).reshape(shape2)
-    dx = pad(d[:, 0], 1.0).reshape(shape2)
-    dy = pad(d[:, 1], 1.0).reshape(shape2)
-    dz = pad(d[:, 2], 1.0).reshape(shape2)
-    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
-             -1.0).reshape(shape2)
-
-    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
-    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
-             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
-             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
-
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, k, oct_ref: (i, 0),
-                            memory_space=pltpu.VMEM)
-    nodes_spec = pl.BlockSpec((1, nn_max, 8), lambda i, k, oct_ref: (k, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, nn_max, 2),
-                             lambda i, k, oct_ref: (k, oct_ref[i], 0, 0),
-                             memory_space=pltpu.VMEM)
-    leafs_spec = pl.BlockSpec((1, t_rows, 16), lambda i, k, oct_ref: (k, 0, 0),
-                              memory_space=pltpu.VMEM)
-    tid_spec = pl.BlockSpec((1, t_rows, 2), lambda i, k, oct_ref: (k, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, k_t),  # K innermost: output blocks stay resident
-        in_specs=[nodes_spec, meta_spec, leafs_spec, tid_spec]
-        + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
-    )
-
-    t, tri, u, v = pl.pallas_call(
-        _treelet_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-        ],
-        interpret=interpret,
-    )(oct_b, tl.nodes, tl.meta8, tl.leafs, tl.tid,
-      ox, oy, oz, dx, dy, dz, tm)
-
-    return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
-            u.reshape(-1)[:n], v.reshape(-1)[:n])
+    k_t = tl.nodes.shape[0]
+    t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    tri = jnp.full((n,), -1, jnp.int32)
+    u = jnp.zeros((n,), jnp.float32)
+    v = jnp.zeros((n,), jnp.float32)
+    for k in range(k_t):
+        tk, trik, uk, vk = packet_closest_hit(
+            tl.nodes[k], tl.meta8[k], tl.leafs[k], tl.tid[k], o, d, t,
+            interpret=interpret)
+        imp = trik >= 0  # hit strictly inside the carried t -> improvement
+        t = jnp.where(imp, tk, t)
+        tri = jnp.where(imp, trik, tri)
+        u = jnp.where(imp, uk, u)
+        v = jnp.where(imp, vk, v)
+        # keep the carried state in HBM between treelet launches: without
+        # this XLA pins the chained calls' operands/results in VMEM and
+        # blows the 16 MB scoped budget (measured S(1) OOM on v5e)
+        t, tri, u, v = jax.lax.optimization_barrier((t, tri, u, v))
+    return t, tri, u, v
 
 
-def _treelet_any_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref,
-                        ox, oy, oz, dx, dy, dz, tmax_ref, occ_out):
-    """Occlusion over the (nb, K) treelet grid: occ carried in the resident
-    output block; a block already fully occluded skips treelet k at step 0."""
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        occ_out[:] = jnp.zeros((SUB, LANE), jnp.int32)
-
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-
-    def safe_inv(v):
-        tiny = jnp.where(v < 0, -1e-20, 1e-20)
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
-
-    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
-    tm = tmax_ref[:]
-
-    def cond(c):
-        cursor, step = c[0], c[1]
-        return (cursor >= 0) & (step < MAX_STEPS)
-
-    def body(c):
-        cursor, step, occ = c
-        row = nodes_ref[0, cursor, :]
-        lo_x, lo_y, lo_z = row[0], row[1], row[2]
-        hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = meta_ref[0, 0, cursor, 0]
-        miss = meta_ref[0, 0, cursor, 1]
-
-        tx0 = (lo_x - o_x) * inv_x
-        tx1 = (hi_x - o_x) * inv_x
-        ty0 = (lo_y - o_y) * inv_y
-        ty1 = (hi_y - o_y) * inv_y
-        tz0 = (lo_z - o_z) * inv_z
-        tz1 = (hi_z - o_z) * inv_z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                     jnp.maximum(ty0, ty1)),
-                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-        live = (occ == 0) & (tm > 0)
-        want = (tn <= tf) & (tf > 0) & (tn < tm) & live
-        any_want = jnp.any(want)
-        is_leaf = col6 < 0
-
-        def do_leaf(occ):
-            start = -col6 - 1
-
-            def leaf_iter(kk, occ):
-                lr = leafs_ref[0, start + kk, :]
-                tid = tid_ref[0, start + kk, 0]
-                p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                pvx = d_y * e2z - d_z * e2y
-                pvy = d_z * e2x - d_x * e2z
-                pvz = d_x * e2y - d_y * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) > 1e-12
-                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                       & (u + v <= 1) & (t > 1e-5) & (t < tm))
-                return jnp.where(hit, 1, occ)
-
-            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
-
-        occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
-        all_done = jnp.all((occ == 1) | (tm <= 0))
-        descend = any_want & ~is_leaf
-        cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
-        return cursor, step + 1, occ
-
-    _, _, occ = jax.lax.while_loop(cond, body,
-                                   (jnp.int32(0), jnp.int32(0), occ_out[:]))
-    occ_out[:] = occ
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def treelet_any_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
-    """Occlusion over K treelets; returns bool (N,)."""
+    """Occlusion over K treelets; already-occluded lanes get t_max = 0 so
+    later treelet walks skip them."""
     n = o.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
-    nb = n_pad // BLOCK
-    k_t, nn_max = tl.nodes.shape[0], tl.nodes.shape[1]
-    t_rows = tl.leafs.shape[1]
-
-    def pad(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
-
-    shape2 = (nb * SUB, LANE)
-    ox = pad(o[:, 0]).reshape(shape2)
-    oy = pad(o[:, 1]).reshape(shape2)
-    oz = pad(o[:, 2]).reshape(shape2)
-    dx = pad(d[:, 0], 1.0).reshape(shape2)
-    dy = pad(d[:, 1], 1.0).reshape(shape2)
-    dz = pad(d[:, 2], 1.0).reshape(shape2)
-    tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
-             -1.0).reshape(shape2)
-
-    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
-    oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
-             | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
-             | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
-
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, k, oct_ref: (i, 0),
-                            memory_space=pltpu.VMEM)
-    nodes_spec = pl.BlockSpec((1, nn_max, 8), lambda i, k, oct_ref: (k, 0, 0),
-                              memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, 1, nn_max, 2),
-                             lambda i, k, oct_ref: (k, oct_ref[i], 0, 0),
-                             memory_space=pltpu.VMEM)
-    leafs_spec = pl.BlockSpec((1, t_rows, 16), lambda i, k, oct_ref: (k, 0, 0),
-                              memory_space=pltpu.VMEM)
-    tid_spec = pl.BlockSpec((1, t_rows, 2), lambda i, k, oct_ref: (k, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, k_t),
-        in_specs=[nodes_spec, meta_spec, leafs_spec, tid_spec]
-        + [ray_spec] * 7,
-        out_specs=[ray_spec],
-    )
-
-    occ = pl.pallas_call(
-        _treelet_any_kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(shape2, jnp.int32)],
-        interpret=interpret,
-    )(oct_b, tl.nodes, tl.meta8, tl.leafs, tl.tid,
-      ox, oy, oz, dx, dy, dz, tm)[0]
-
-    return occ.reshape(-1)[:n] > 0
+    k_t = tl.nodes.shape[0]
+    t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    occ = jnp.zeros((n,), bool)
+    for k in range(k_t):
+        occ_k = packet_any_hit(tl.nodes[k], tl.meta8[k], tl.leafs[k],
+                               tl.tid[k], o, d, jnp.where(occ, 0.0, t),
+                               interpret=interpret)
+        occ = jax.lax.optimization_barrier(occ | occ_k)
+    return occ
 
 
-def _any_kernel(oct_ref, nodes_ref, meta_ref, leafs_ref, tid_ref, ox, oy, oz,
-                dx, dy, dz, tmax_ref, occ_out):
-    """Occlusion query: like _kernel but terminates the whole block as soon
-    as every ray is occluded or t-limited (the packet analogue of
+def _make_any_kernel(nn):
+    """Occlusion kernel: like _make_kernel but terminates the whole block
+    as soon as every ray is occluded or t-limited (the packet analogue of
     IntersectP's early return, accelerator/BVHAccel.cpp:736-795)."""
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
 
-    def safe_inv(v):
-        tiny = jnp.where(v < 0, -1e-20, 1e-20)
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+    def kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, oct_ref, ox, oy, oz,
+               dx, dy, dz, tmax_ref, occ_out):
+        base = oct_ref[pl.program_id(0), 0] * nn
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
 
-    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
-    tm = tmax_ref[:]
-    occ0 = jnp.zeros((SUB, LANE), jnp.int32)
+        def safe_inv(v):
+            tiny = jnp.where(v < 0, -1e-20, 1e-20)
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-    def cond(c):
-        cursor, step = c[0], c[1]
-        return (cursor >= 0) & (step < MAX_STEPS)
+        inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        tm = tmax_ref[:]
+        occ0 = jnp.zeros((SUB, LANE), jnp.int32)
 
-    def body(c):
-        cursor, step, occ = c
-        row = nodes_ref[cursor, :]
-        lo_x, lo_y, lo_z = row[0], row[1], row[2]
-        hi_x, hi_y, hi_z = row[3], row[4], row[5]
-        col6 = meta_ref[0, cursor, 0]
-        miss = meta_ref[0, cursor, 1]
+        def cond(c):
+            cursor, step = c[0], c[1]
+            return (cursor >= 0) & (step < MAX_STEPS)
 
-        tx0 = (lo_x - o_x) * inv_x
-        tx1 = (hi_x - o_x) * inv_x
-        ty0 = (lo_y - o_y) * inv_y
-        ty1 = (hi_y - o_y) * inv_y
-        tz0 = (lo_z - o_z) * inv_z
-        tz1 = (hi_z - o_z) * inv_z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                     jnp.maximum(ty0, ty1)),
-                         jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-        live = (occ == 0) & (tm > 0)
-        want = (tn <= tf) & (tf > 0) & (tn < tm) & live
-        any_want = jnp.any(want)
-        is_leaf = col6 < 0
+        def body(c):
+            cursor, step, occ = c
+            row = nodes_ref[cursor, :]
+            lo_x, lo_y, lo_z = row[0], row[1], row[2]
+            hi_x, hi_y, hi_z = row[3], row[4], row[5]
+            col6 = meta_ref[base + cursor, 0]
+            miss = meta_ref[base + cursor, 1]
 
-        def do_leaf(occ):
-            start = -col6 - 1
+            tx0 = (lo_x - o_x) * inv_x
+            tx1 = (hi_x - o_x) * inv_x
+            ty0 = (lo_y - o_y) * inv_y
+            ty1 = (hi_y - o_y) * inv_y
+            tz0 = (lo_z - o_z) * inv_z
+            tz1 = (hi_z - o_z) * inv_z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+            live = (occ == 0) & (tm > 0)
+            want = (tn <= tf) & (tf > 0) & (tn < tm) & live
+            any_want = jnp.any(want)
+            is_leaf = col6 < 0
 
-            def leaf_iter(k, occ):
-                lr = leafs_ref[start + k, :]
-                tid = tid_ref[start + k, 0]
-                p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                pvx = d_y * e2z - d_z * e2y
-                pvy = d_z * e2x - d_x * e2z
-                pvz = d_x * e2y - d_y * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) > 1e-12
-                inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                       & (u + v <= 1) & (t > 1e-5) & (t < tm))
-                return jnp.where(hit, 1, occ)
+            def do_leaf(occ):
+                start = -col6 - 1
 
-            return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
+                def leaf_iter(k, occ):
+                    lr = leafs_ref[start + k, :]
+                    tid = tid_ref[start + k, 0]
+                    p0x, p0y, p0z = lr[0], lr[1], lr[2]
+                    p1x, p1y, p1z = lr[3], lr[4], lr[5]
+                    p2x, p2y, p2z = lr[6], lr[7], lr[8]
+                    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+                    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+                    pvx = d_y * e2z - d_z * e2y
+                    pvy = d_z * e2x - d_x * e2z
+                    pvz = d_x * e2y - d_y * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) > 1e-12
+                    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+                    tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+                    hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
+                           & (u + v <= 1) & (t > 1e-5) & (t < tm))
+                    return jnp.where(hit, 1, occ)
 
-        occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
-        all_done = jnp.all((occ == 1) | (tm <= 0))
-        descend = any_want & ~is_leaf
-        cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
-        return cursor, step + 1, occ
+                return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
 
-    _, _, occ = jax.lax.while_loop(cond, body,
-                                   (jnp.int32(0), jnp.int32(0), occ0))
-    occ_out[:] = occ
+            occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
+            all_done = jnp.all((occ == 1) | (tm <= 0))
+            descend = any_want & ~is_leaf
+            cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
+            return cursor, step + 1, occ
+
+        _, _, occ = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(0), jnp.int32(0), occ0))
+        occ_out[:] = occ
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -815,27 +554,24 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
              | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
     if meta8.shape[0] == 1:
         oct_b = jnp.zeros_like(oct_b)
+    oct_b = oct_b[:, None]  # SMEM scalars must be 2D
 
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i, oct_ref: (i, 0),
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    meta_spec = pl.BlockSpec((1, nn, 2), lambda i, oct_ref: (oct_ref[i], 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[table_spec, meta_spec, table_spec, table_spec]
-        + [ray_spec] * 7,
-        out_specs=[ray_spec],
-    )
+    # whole (NB, 1) table in SMEM (blocks must tile (8,128) or equal
+    # the array; a few KB of SMEM is fine), indexed by program_id
+    oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     occ = pl.pallas_call(
-        _any_kernel,
-        grid_spec=grid_spec,
+        _make_any_kernel(nn),
+        grid=(nb,),
+        in_specs=[table_spec] * 4 + [oct_spec] + [ray_spec] * 7,
+        out_specs=[ray_spec],
         out_shape=[jax.ShapeDtypeStruct(shape2, jnp.int32)],
         interpret=interpret,
-    )(oct_b, nodes, meta8, leafs, tid, ox, oy, oz, dx, dy, dz, tm)[0]
+    )(nodes, meta8.reshape(-1, 2), leafs, tid, oct_b,
+      ox, oy, oz, dx, dy, dz, tm)[0]
 
     return occ.reshape(-1)[:n] > 0
 

@@ -209,25 +209,48 @@ def make_distribution2d(func):
     return Distribution2D(cond.func, cond.cdf, cond.func_int, marg.cdf, marg.func_int)
 
 
+def _row_searchsorted(cdf2d, rows, u):
+    """Per-lane searchsorted(cdf2d[rows[i]], u[i], side='right') - 1 without
+    materializing per-lane CDF rows.  The obvious `cdf2d[rows]` gather is
+    (N, W+1) — at a 1M-lane wavefront against a 1000-column environment
+    CDF that is ~4 GB of gather traffic PER CALL (measured: it dominated
+    the whole mesh render, PERF.md round-2).  A bisection over the flat
+    table is ceil(log2(W+1)) scalar gathers per lane instead."""
+    import numpy as np
+
+    w1 = cdf2d.shape[-1]
+    flat = cdf2d.reshape(-1)
+    base = rows.astype(jnp.int32) * w1
+    lo = jnp.zeros(rows.shape, jnp.int32)
+    hi = jnp.full(rows.shape, w1, jnp.int32)
+    # invariant: cdf[lo] <= u (cdf[0] == 0 <= u) and (hi == w1 or cdf[hi] > u)
+    for _ in range(int(np.ceil(np.log2(max(w1, 2))))):
+        done = (hi - lo) <= 1
+        mid = (lo + hi) >> 1
+        v = flat[base + jnp.clip(mid, 0, w1 - 1)]
+        go_right = (v <= u) & ~done
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(~go_right & ~done, mid, hi)
+    return lo
+
+
 def sample_continuous_2d(dist: Distribution2D, u):
     """u: (..., 2) -> ((..., 2) point in [0,1)^2, pdf)."""
     h, w = dist.shape
     marg = Distribution1D(dist.cond_int, dist.marg_cdf, dist.marg_int)
     d1, pdf1, v_idx = sample_continuous_1d(marg, u[..., 1])
-    # Row-dependent conditional: gather the row then sample.
-    cond_cdf = dist.cond_cdf[v_idx]  # (..., W+1)
-    cond_func = dist.cond_func[v_idx]  # (..., W)
-    cond_int = dist.cond_int[v_idx]
+    # Row-dependent conditional: flat-gather bisection (see _row_searchsorted)
     u0 = u[..., 0]
-    idx = jnp.clip(
-        jnp.sum((cond_cdf <= u0[..., None]).astype(jnp.int32), axis=-1) - 1, 0, w - 1
-    )
-    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
-    c_lo = take(cond_cdf, idx)
-    c_hi = take(cond_cdf, idx + 1)
+    idx = jnp.clip(_row_searchsorted(dist.cond_cdf, v_idx, u0), 0, w - 1)
+    w1 = dist.cond_cdf.shape[-1]
+    cdf_flat = dist.cond_cdf.reshape(-1)
+    base = v_idx.astype(jnp.int32) * w1
+    c_lo = cdf_flat[base + idx]
+    c_hi = cdf_flat[base + idx + 1]
+    cond_int = dist.cond_int[v_idx]
     width = c_hi - c_lo
     du = jnp.where(width > 0.0, (u0 - c_lo) / jnp.where(width > 0.0, width, 1.0), u0 - c_lo)
-    f = take(cond_func, idx)
+    f = dist.cond_func.reshape(-1)[v_idx.astype(jnp.int32) * w + idx]
     pdf0 = jnp.where(cond_int > 0.0, f / jnp.where(cond_int > 0.0, cond_int, 1.0), 0.0)
     d0 = (idx.astype(jnp.float32) + du) / w
     return jnp.stack([d0, d1], axis=-1), pdf0 * pdf1
