@@ -94,9 +94,15 @@ struct Builder {
     float ext[3] = {cb.hi.x - cb.lo.x, cb.hi.y - cb.lo.y, cb.hi.z - cb.lo.z};
     int dim = ext[1] > ext[0] ? (ext[2] > ext[1] ? 2 : 1) : (ext[2] > ext[0] ? 2 : 0);
     if (ext[dim] < 1e-12f) {
-      offset[me] = (int)order.size();
-      nprims[me] = n;
-      for (int i = first; i < last; ++i) order.push_back(idx[i]);
+      // Degenerate (identical centroids): the reference emits one big leaf
+      // (BVHAccel.cpp:231-246); our traversals test a fixed leaf_size
+      // window, so split arbitrarily in half until leaves fit.
+      int mid = first + n / 2;
+      axis[me] = dim;
+      nprims[me] = 0;
+      build(idx, first, mid);
+      int second = build(idx, mid, last);
+      offset[me] = second;
       return me;
     }
     constexpr int NB = 12;
@@ -126,12 +132,9 @@ struct Builder {
     int split = 0;
     for (int s = 1; s < NB - 1; ++s)
       if (cost[s] < cost[split]) split = s;
-    if (cost[split] >= (float)n && n <= 2 * leaf_size) {
-      offset[me] = (int)order.size();
-      nprims[me] = n;
-      for (int i = first; i < last; ++i) order.push_back(idx[i]);
-      return me;
-    }
+    // (no "SAH says leaf is cheaper" big-leaf branch: n > leaf_size here
+    // and oversized leaves overflow the fixed leaf_size intersector
+    // window — always split instead)
     auto mid_it = std::partition(idx.begin() + first, idx.begin() + last,
                                  [&](int p) { return bucket_of(p) <= split; });
     int mid = (int)(mid_it - idx.begin());

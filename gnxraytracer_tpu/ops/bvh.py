@@ -206,11 +206,17 @@ def build_bvh_numpy(vertices, triangles, leaf_size=LEAF_SIZE):
         c_lo, c_hi = c.min(0), c.max(0)
         dim = int(np.argmax(c_hi - c_lo))
         if c_hi[dim] - c_lo[dim] < 1e-12:
-            # degenerate: all centroids identical -> leaf (reference does the
-            # same, BVHAccel.cpp:231-246 path)
-            nodes_off[me] = len(order)
-            nodes_np[me] = len(idx)
-            order.extend(idx.tolist())
+            # degenerate: all centroids identical.  The reference makes one
+            # big leaf here (BVHAccel.cpp:231-246) because its leaf loop is
+            # variable-length; OUR leaf intersectors test a fixed LEAF_SIZE
+            # window, so an oversized leaf would silently drop prims —
+            # split arbitrarily in half until leaves fit.
+            half = len(idx) // 2
+            nodes_ax[me] = dim
+            build(idx[:half])
+            second = build(idx[half:])
+            nodes_off[me] = second
+            nodes_np[me] = 0
             return me
         # 12-bucket SAH (BVHAccel.cpp:270-357 cost model)
         nb = 12
@@ -242,13 +248,10 @@ def build_bvh_numpy(vertices, triangles, leaf_size=LEAF_SIZE):
             a0 = area(l_lo.min(0), l_hi.max(0)) if c0 else 0.0
             a1 = area(r_lo.min(0), r_hi.max(0)) if c1 else 0.0
             cost[i] = 1 + (c0 * a0 + c1 * a1) / max(area(b_lo, b_hi), 1e-12)
+        # (no "cost >= leaf_cost -> big leaf" branch: len(idx) > leaf_size
+        # here, and oversized leaves overflow the fixed LEAF_SIZE
+        # intersector window — always split instead)
         split = int(np.argmin(cost))
-        leaf_cost = len(idx)
-        if cost[split] >= leaf_cost and len(idx) <= 2 * leaf_size:
-            nodes_off[me] = len(order)
-            nodes_np[me] = len(idx)
-            order.extend(idx.tolist())
-            return me
         left_mask = which <= split
         if not left_mask.any() or left_mask.all():
             half = len(idx) // 2

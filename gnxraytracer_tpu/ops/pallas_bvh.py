@@ -153,7 +153,11 @@ def _make_kernel(nn):
             tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                          jnp.maximum(ty0, ty1)),
                              jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-            want = (tn <= tf) & (tf > 0) & (tn < t_best)
+            # t_best > 0 is the live-lane term: dead lanes carry t_max = 0
+            # (integrator convention) and would otherwise still "want" every
+            # origin-containing node (tn < 0); with it an all-dead block
+            # really does terminate at the root in one step (ADVICE r2)
+            want = (tn <= tf) & (tf > 0) & (tn < t_best) & (t_best > 0)
             any_want = jnp.any(want)
 
             is_leaf = col6 < 0
@@ -330,15 +334,22 @@ def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
     (the treelet walk ends; the next treelet continues the hit search).
     """
     nn = len(off)
-    pcount = np.zeros(nn, np.int64)
+    # subtree prim/node counts, vectorized per BFS level (the per-node
+    # Python reverse pass was O(nn) interpreter work at every build —
+    # ~500k iterations for a 1M-tri mesh; ADVICE r2)
+    frontier = np.array([0], dtype=np.int64)
+    levels = []
+    while len(frontier):
+        levels.append(frontier)
+        inner_f = frontier[npr[frontier] == 0]
+        frontier = np.concatenate([inner_f + 1, off[inner_f]])
+    pcount = np.where(npr > 0, npr, 0).astype(np.int64)
     ncount = np.ones(nn, np.int64)
-    for i in range(nn - 1, -1, -1):  # children have larger ids in DFS layout
-        if npr[i] > 0:
-            pcount[i] = npr[i]
-        else:
-            l, r = i + 1, off[i]
-            pcount[i] = pcount[l] + pcount[r]
-            ncount[i] = 1 + ncount[l] + ncount[r]
+    for lvl in reversed(levels[:-1]):
+        inner_l = lvl[npr[lvl] == 0]
+        l, r = inner_l + 1, off[inner_l]
+        pcount[inner_l] = pcount[l] + pcount[r]
+        ncount[inner_l] = 1 + ncount[l] + ncount[r]
 
     roots = []
     stack = [0]
@@ -365,7 +376,12 @@ def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
 
     k_t = len(slices)
     nn_max = max(e - r for r, e, _, _ in slices)
-    t_max_rows = max(rh - rl for _, _, rl, rh in slices)
+    # + LEAF_SIZE: the kernel's fixed-size leaf loop reads up to
+    # LEAF_SIZE-1 rows past the last leaf's start; when the treelet whose
+    # last leaf is clamped at the global table end also defines
+    # t_max_rows, those reads would land out of bounds (ADVICE r2).  The
+    # pad rows carry tid = -1, which the leaf test rejects.
+    t_max_rows = max(rh - rl for _, _, rl, rh in slices) + LEAF_SIZE
 
     nodes_t = np.zeros((k_t, nn_max, 8), np.float32)
     meta_t = np.full((k_t, 8, nn_max, 2), -1, np.int32)
@@ -393,45 +409,53 @@ def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
 
 
 def treelet_closest_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
-    """Closest hit over K treelets: K chained packet kernels, each with
-    VMEM-sized full-array tables (the layout proven to compile on chip —
-    see _make_kernel on Mosaic's lane padding of narrow blocked specs).
-    The running best t feeds the next treelet's t_max, so earlier treelets
-    prune later walks; blocks that miss a treelet's root exit in one step."""
+    """Closest hit over K treelets as a lax.scan over the treelet axis.
+
+    One pallas_call instance per cast SITE regardless of K: the round-2
+    Python loop inlined K kernels per cast into the integrator program
+    (~50 Mosaic instances for the 105k-tri mesh across bounce widths),
+    which is what actually killed the on-chip compile (BENCH_r02
+    mesh_error) — each instance is a separate Mosaic compile through the
+    remote-compile tunnel.  scan's body is traced once; each runtime
+    iteration dynamic-slices one treelet's tables out of HBM (≈1.8 MB)
+    and the kernel's full-array VMEM residency (the layout proven to
+    compile on chip, see _make_kernel) copies them in.  The running best
+    t feeds the next treelet's t_max, so earlier treelets prune later
+    walks; blocks that miss a treelet's root exit in one step."""
     n = o.shape[0]
-    k_t = tl.nodes.shape[0]
-    t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
-    tri = jnp.full((n,), -1, jnp.int32)
-    u = jnp.zeros((n,), jnp.float32)
-    v = jnp.zeros((n,), jnp.float32)
-    for k in range(k_t):
-        tk, trik, uk, vk = packet_closest_hit(
-            tl.nodes[k], tl.meta8[k], tl.leafs[k], tl.tid[k], o, d, t,
-            interpret=interpret)
+    t0 = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
+    init = (t0, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+
+    def step(carry, tables):
+        t, tri, u, v = carry
+        nodes, meta8, leafs, tid = tables
+        tk, trik, uk, vk = packet_closest_hit(nodes, meta8, leafs, tid,
+                                              o, d, t, interpret=interpret)
         imp = trik >= 0  # hit strictly inside the carried t -> improvement
-        t = jnp.where(imp, tk, t)
-        tri = jnp.where(imp, trik, tri)
-        u = jnp.where(imp, uk, u)
-        v = jnp.where(imp, vk, v)
-        # keep the carried state in HBM between treelet launches: without
-        # this XLA pins the chained calls' operands/results in VMEM and
-        # blows the 16 MB scoped budget (measured S(1) OOM on v5e)
-        t, tri, u, v = jax.lax.optimization_barrier((t, tri, u, v))
+        return (jnp.where(imp, tk, t), jnp.where(imp, trik, tri),
+                jnp.where(imp, uk, u), jnp.where(imp, vk, v)), None
+
+    (t, tri, u, v), _ = jax.lax.scan(
+        step, init, (tl.nodes, tl.meta8, tl.leafs, tl.tid))
     return t, tri, u, v
 
 
 def treelet_any_hit(tl: TreeletPack, o, d, t_max, *, interpret=True):
-    """Occlusion over K treelets; already-occluded lanes get t_max = 0 so
-    later treelet walks skip them."""
+    """Occlusion over K treelets (lax.scan, one kernel instance — see
+    treelet_closest_hit); already-occluded lanes get t_max = 0 so later
+    treelet walks skip them (dead-lane term in the kernel's want test)."""
     n = o.shape[0]
-    k_t = tl.nodes.shape[0]
     t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
-    occ = jnp.zeros((n,), bool)
-    for k in range(k_t):
-        occ_k = packet_any_hit(tl.nodes[k], tl.meta8[k], tl.leafs[k],
-                               tl.tid[k], o, d, jnp.where(occ, 0.0, t),
-                               interpret=interpret)
-        occ = jax.lax.optimization_barrier(occ | occ_k)
+
+    def step(occ, tables):
+        nodes, meta8, leafs, tid = tables
+        occ_k = packet_any_hit(nodes, meta8, leafs, tid, o, d,
+                               jnp.where(occ, 0.0, t), interpret=interpret)
+        return occ | occ_k, None
+
+    occ, _ = jax.lax.scan(step, jnp.zeros((n,), bool),
+                          (tl.nodes, tl.meta8, tl.leafs, tl.tid))
     return occ
 
 
