@@ -56,6 +56,10 @@ class RenderCfg(NamedTuple):
     # "packet" (shared cursor per 512-ray block + coherence sort),
     # "stackless" (per-lane cursor), "stack" (per-lane 64-deep stack)
     bvh_mode: str = "packet"
+    # Coherence-sort key for the packet walks (ops/bvh.ray_sort_perm):
+    # "oct_morton" (direction-major) or "morton_oct" (origin-major — the
+    # hit-cluster key; wins on bounce-heavy mesh workloads, PERF.md r3)
+    sort_key: str = "oct_morton"
     reference_area_bug: bool = True
     spp_chunk: int = 4
     light_strategy: str = "uniform"  # uniform | power
@@ -146,6 +150,12 @@ def make_config(scene, width, height, spp, **kw):
     # watchdog at large N x deep trees). Override with use_bvh in kw.
     kw.setdefault("use_bvh", scene.bvh is not None
                   and int(scene.geom.triangles.shape[0]) > 32768)
+    if scene.media is not None:
+        # scenes with participating media need the full VisibilityTester::Tr
+        # boundary walk (core/Light.cpp:33-53): without it, shadow rays
+        # treat null-material medium shells as opaque occluders (measured
+        # -6% systematic bias on the volpath parity scene, PARITY.md r3)
+        kw.setdefault("tr_walk_segments", 4)
     if kw.get("use_bvh") and "bvh_mode" not in kw:
         # Pallas packet kernel on real TPU (5.5x the XLA packet walk on
         # coherent rays, measured v5e); XLA packet elsewhere (interpret-mode

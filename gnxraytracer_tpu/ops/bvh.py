@@ -134,8 +134,36 @@ def _pack_leaf_soa(vertices, triangles, order):
     return soa.astype(np.float32)
 
 
+def _align_leaves(off, npr, order, leaf_size=LEAF_SIZE):
+    """Normalize the leaf rows so every leaf occupies EXACTLY leaf_size
+    rows (short leaves padded with -1).  Keeps all traversals' fixed-size
+    leaf window valid with zero per-leaf length bookkeeping, and lets the
+    Pallas kernels read a whole leaf as ONE packed row
+    (ops/pallas_bvh.pack_bvh_for_pallas reshapes (T,9)->(T/4,36)).
+    Vectorized (no per-leaf Python loop).  Returns (new_off, new_order)."""
+    off = np.asarray(off, np.int64)
+    npr = np.asarray(npr, np.int64)
+    order = np.asarray(order, np.int64)
+    leaves = np.nonzero(npr > 0)[0]
+    if len(leaves) == 0:
+        return off.astype(np.int32), np.full(leaf_size, -1, np.int32)
+    leaves = leaves[np.argsort(off[leaves], kind="stable")]
+    cnt = npr[leaves]
+    nl = len(leaves)
+    new_order = np.full(nl * leaf_size, -1, np.int64)
+    tot = int(cnt.sum())
+    leaf_of = np.repeat(np.arange(nl), cnt)
+    within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    src = np.repeat(off[leaves], cnt) + within
+    new_order[leaf_of * leaf_size + within] = order[src]
+    new_off = off.copy()
+    new_off[leaves] = np.arange(nl) * leaf_size
+    return new_off.astype(np.int32), new_order.astype(np.int32)
+
+
 def _finish_build(arrs, vertices, triangles):
     lo, hi, off, npr, ax, order = (np.asarray(a) for a in arrs)
+    off, order = _align_leaves(off, npr, order)
     miss = _compute_miss_links(off, npr)
     soa = _pack_leaf_soa(vertices, triangles, order)
     first8, miss8 = _compute_octant_links(off, npr, ax)
@@ -474,11 +502,29 @@ def bvh_any_hit_stackless(bvh: BVH, o, d, t_max):
 PACKET = 512  # rays per shared-cursor packet
 
 
-def ray_sort_perm(o, d, lo, hi, t_max=None):
-    """Coherence permutation: sort rays by (direction octant, morton of
-    quantized origin).  Packets then see nearby rays pointing the same
-    way — the knob that turns packet traversal from union-of-paths back
-    into per-ray-optimal node visits.
+def _spread3(x):
+    """Interleave 10 bits with 2-bit gaps (30-bit 3D morton support)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def ray_sort_perm(o, d, lo, hi, t_max=None, key_mode="oct_morton"):
+    """Coherence permutation for packet traversal — the knob that turns a
+    block's union-of-node-sets back toward per-ray-optimal visits.
+
+    key_mode:
+      "oct_morton"    — (direction octant major, 5-bit origin morton):
+                        right for primary/shadow wavefronts where many
+                        origins share a direction cone.
+      "morton_oct"    — (8-bit origin morton major, octant minor): right
+                        for BOUNCE wavefronts — origins cluster on the
+                        surface the previous cast hit (the hit-cluster key
+                        PERF.md round 1 called for), directions are
+                        cosine-spread so origin locality dominates.
+      "morton6d"      — interleaved position(6b)+direction(4b) morton.
 
     When t_max is given, lanes with t_max <= 0 (dead wavefront lanes —
     integrators mask them this way) sort to the END: their blocks become
@@ -486,27 +532,49 @@ def ray_sort_perm(o, d, lo, hi, t_max=None):
     a wavefront that is 20% alive costs ~20% of a full cast instead of
     100%.  Returns (perm, inv_perm)."""
     ext = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((o - lo) / ext * 31.0), 0, 31).astype(jnp.uint32)  # 5 bits
-
-    def spread(x):
-        x = (x | (x << 8)) & jnp.uint32(0x0300F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249)
-        return x
-
-    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
     octant = ((d[:, 0] < 0).astype(jnp.uint32)
               | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
               | ((d[:, 2] < 0).astype(jnp.uint32) << 2))
-    key = (octant << jnp.uint32(15)) | morton
+    if key_mode == "oct_morton":
+        q = jnp.clip(((o - lo) / ext * 31.0), 0, 31).astype(jnp.uint32)
+        morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+                  | (_spread3(q[:, 2]) << 2))
+        key = (octant << jnp.uint32(15)) | morton
+    elif key_mode == "oct_morton8":
+        # octant major + fine 8-bit/axis origin morton: bounce wavefronts
+        # from a dense mesh need origin cells far smaller than the scene
+        # bound's 1/32 to keep a block's union of subtree paths tight
+        q = jnp.clip(((o - lo) / ext * 255.0), 0, 255).astype(jnp.uint32)
+        morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+                  | (_spread3(q[:, 2]) << 2))
+        key = (octant << jnp.uint32(24)) | morton
+    elif key_mode == "morton_oct":
+        q = jnp.clip(((o - lo) / ext * 255.0), 0, 255).astype(jnp.uint32)
+        morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+                  | (_spread3(q[:, 2]) << 2))  # 24 bits
+        key = (morton << jnp.uint32(3)) | octant
+    elif key_mode == "morton6d":
+        q = jnp.clip(((o - lo) / ext * 63.0), 0, 63).astype(jnp.uint32)
+        qd = jnp.clip((d * 0.5 + 0.5) * 15.0, 0, 15).astype(jnp.uint32)
+        pm = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+              | (_spread3(q[:, 2]) << 2))  # 18 bits
+        dm = (_spread3(qd[:, 0]) | (_spread3(qd[:, 1]) << 1)
+              | (_spread3(qd[:, 2]) << 2))  # 12 bits
+        key = (pm << jnp.uint32(12)) | dm
+    else:
+        raise ValueError(key_mode)
     if t_max is not None:
         key = jnp.where(t_max <= 0, jnp.uint32(0x7FFFFFFF), key)
     perm = jnp.argsort(key)
-    inv = jnp.argsort(perm)
+    # inverse by scatter (one pass) instead of a second 1M-element argsort
+    n = perm.shape[0]
+    inv = jnp.zeros((n,), perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype), unique_indices=True)
     return perm, inv
 
 
-def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
+def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
+                           sort_key="oct_morton"):
     """Packet traversal at the XLA level (the jit-compilable twin of
     ops/pallas_bvh): rays grouped into `packet`-wide blocks; each block
     walks the threaded BVH behind ONE shared cursor, visiting a node when
@@ -524,7 +592,7 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
-                                  t_max=t_max)
+                                  t_max=t_max, key_mode=sort_key)
         o, d, t_max = o[perm], d[perm], t_max[perm]
 
     b = packet
@@ -636,14 +704,15 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
                   tri=jnp.maximum(tri, 0), b=bary)
 
 
-def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True):
+def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
+                       sort_key="oct_morton"):
     """Packet occlusion query: early-out per block once every ray in the
     block is occluded or t-limited."""
     n = o.shape[0]
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
-                                  t_max=t_max)
+                                  t_max=t_max, key_mode=sort_key)
         o, d, t_max = o[perm], d[perm], t_max[perm]
     b = packet
     n_pad = ((n + b - 1) // b) * b

@@ -60,15 +60,19 @@ def pack_bvh_for_pallas(bvh):
 
     nodes (NN, 8) f32  : lo.xyz hi.xyz pad pad
     meta8 (K, NN, 2) i32: per-octant threaded links —
-        col 0: leaf -> -(prim_start + 1); inner -> FIRST child in this
+        col 0: leaf -> -(leaf_row + 1); inner -> FIRST child in this
                octant's near-first order (bvh.first8; node 0 is the root so
                first-child ids are always >= 1, keeping leaf-ness in the
                sign).
         col 1: miss link for this octant (bvh.miss8).
         K = 8 when the tree carries octant links, else 1 (single fixed
         order: first child = node+1, the depth-first layout).
-    leafs (Tp, 16) f32 : p0 p1 p2 (9 floats) + pad
-    tid   (Tp, 2)  i32 : triangle id + pad
+    leafs (NL, 36) f32 : one WHOLE leaf per row — LEAF_SIZE x (p0 p1 p2)
+                         (leaves are LEAF_SIZE-aligned by the build's
+                         _align_leaves pass, so this is a pure reshape);
+                         the kernel reads a leaf as ONE row instead of
+                         LEAF_SIZE strided row fetches.
+    tid   (NL, 4)  i32 : the leaf's triangle ids (-1 pad)
 
     The kernel holds the FLATTENED (K*NN, 2) meta8 in VMEM and selects the
     block's octant with a scalar base offset (per-octant meta is only
@@ -87,7 +91,7 @@ def pack_bvh_for_pallas(bvh):
     # Mosaic has no scalar bitcast (tpu.bitcast wants vectors), so int
     # metadata lives in its own i32 tables instead of f32-punned columns.
     nodes = jnp.concatenate([lo, hi, jnp.zeros((nn, 2), jnp.float32)], axis=1)
-    leaf_code = -(off + 1)
+    leaf_code = -(off // LEAF_SIZE + 1)
     if bvh.first8 is not None:
         first = jnp.where((npr > 0)[None, :], leaf_code[None, :],
                           bvh.first8.astype(jnp.int32))
@@ -97,124 +101,186 @@ def pack_bvh_for_pallas(bvh):
         meta8 = jnp.stack([jnp.where(npr > 0, leaf_code, seq),
                            bvh.miss.astype(jnp.int32)], axis=1)[None]
 
-    tp = prim.shape[0]
-    leafs = jnp.concatenate([soa, jnp.zeros((tp, 7), jnp.float32)], axis=1)
-    tid = jnp.stack([prim, jnp.zeros((tp,), jnp.int32)], axis=1)
+    leafs = soa.reshape(-1, LEAF_SIZE * 9)
+    tid = prim.reshape(-1, LEAF_SIZE)
 
     return nodes, meta8, leafs, tid
 
 
-def _make_kernel(nn):
-    """Closest-hit kernel over a threaded tree of nn nodes.  All tables are
-    FULL-ARRAY VMEM residents — blocked table specs with a trailing dim of
-    8/16 get lane-padded to 128 by Mosaic (measured: 21.65 MB scoped VMEM
-    for a 1.3 MB table set), so per-octant selection is a scalar base
-    offset into the flattened (K_oct*NN, 2) meta table instead of a
-    per-program block fetch."""
+UNROLL = 4  # traversal steps per while_loop iteration (amortizes the
+            # scalar loop-carry/cond overhead over several node visits)
+CPACK = 1   # independent ray sub-blocks walked per grid program.
+            # Interleaving >1 cursors (software ILP over the scalar
+            # stalls) wins ~7x in microbenchmarks of pure dependent-load
+            # chains, but LOSES end-to-end on real wavefronts: a program
+            # runs until its SLOWEST sub-block's walk ends, and mixed
+            # dispatches (dead tails next to deep packets) pay ~max
+            # instead of ~mean (measured 4.06 -> 4.5 s on the mesh
+            # chunk).  Kept parameterized for uniform workloads.
+
+
+def _slab_want(row, o_x, o_y, o_z, inv_x, inv_y, inv_z, t_best):
+    """Vector slab test of one node row against the ray block.  The
+    t_best > 0 term is the live-lane test: dead lanes carry t_max = 0
+    (integrator convention) and would otherwise still 'want' every
+    origin-containing node (tn < 0); with it an all-dead block really
+    does terminate at the root in one step (ADVICE r2)."""
+    lo_x, lo_y, lo_z = row[0], row[1], row[2]
+    hi_x, hi_y, hi_z = row[3], row[4], row[5]
+    tx0 = (lo_x - o_x) * inv_x
+    tx1 = (hi_x - o_x) * inv_x
+    ty0 = (lo_y - o_y) * inv_y
+    ty1 = (hi_y - o_y) * inv_y
+    tz0 = (lo_z - o_z) * inv_z
+    tz1 = (hi_z - o_z) * inv_z
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                 jnp.minimum(ty0, ty1)),
+                     jnp.minimum(tz0, tz1))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                 jnp.maximum(ty0, ty1)),
+                     jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
+    return (tn <= tf) & (tf > 0) & (tn < t_best) & (t_best > 0)
+
+
+def _leaf_tests(lr, tr, o_x, o_y, o_z, d_x, d_y, d_z):
+    """Statically-unrolled Moller-Trumbore over one packed leaf row
+    (LEAF_SIZE triangles, 9 floats each) against the vector ray block.
+    Yields (tid, t, u, v, geo_valid) per triangle; caller applies its own
+    t-window test."""
+    for k in range(LEAF_SIZE):
+        b = 9 * k
+        p0x, p0y, p0z = lr[b + 0], lr[b + 1], lr[b + 2]
+        p1x, p1y, p1z = lr[b + 3], lr[b + 4], lr[b + 5]
+        p2x, p2y, p2z = lr[b + 6], lr[b + 7], lr[b + 8]
+        tid = tr[k]
+        e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+        e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        geo = (ok & (tid >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
+               & (t > 1e-5))
+        yield tid, t, u, v, geo
+
+
+def _make_kernel(nn, cpk=CPACK):
+    """Closest-hit kernel over a threaded tree of nn nodes; cpk
+    independent ray sub-blocks (cursors) interleaved per program.
+
+    All tables are FULL-ARRAY VMEM residents — blocked table specs with a
+    trailing dim of 8/16 get lane-padded to 128 by Mosaic (measured:
+    21.65 MB scoped VMEM for a 1.3 MB table set), so per-octant selection
+    is a scalar base offset into the flattened (K_oct*NN, 2) meta table
+    instead of a per-program block fetch.
+
+    Leaf tests run under a lax.cond (measured better end-to-end than the
+    branchless always-test variant: short walks — camera misses, dead
+    tails — dominate the dispatch mix and skip the leaf cost entirely).
+    Inside the cond the whole leaf is ONE packed row read + statically
+    unrolled Moller-Trumbore; no gating of individual triangles is
+    needed because a hit on a real triangle is geometrically valid
+    regardless of where the walk is."""
 
     def kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, oct_ref, ox, oy, oz,
                dx, dy, dz, tmax_ref, t_out, tri_out, u_out, v_out):
-        base = oct_ref[pl.program_id(0), 0] * nn
-        o_x, o_y, o_z = ox[:], oy[:], oz[:]
-        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        pid = pl.program_id(0)
 
         def safe_inv(v):
             tiny = jnp.where(v < 0, -1e-20, 1e-20)
             return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-        inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        rows = slice(None)
+        streams = []
+        for j in range(cpk):
+            sl = slice(j * SUB, (j + 1) * SUB)
+            o_x, o_y, o_z = ox[sl, rows], oy[sl, rows], oz[sl, rows]
+            d_x, d_y, d_z = dx[sl, rows], dy[sl, rows], dz[sl, rows]
+            streams.append(dict(
+                o=(o_x, o_y, o_z), d=(d_x, d_y, d_z),
+                inv=(safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)),
+                base=oct_ref[pid * cpk + j, 0] * nn,
+            ))
 
-        t_best0 = tmax_ref[:]
-        tri0 = jnp.full((SUB, LANE), -1, jnp.int32)
-        uv0 = jnp.zeros((SUB, LANE), jnp.float32)
+        def one_step(j, c):
+            cursor, t_best, tri_b, u_b, v_b = c
+            s = streams[j]
+            o_x, o_y, o_z = s["o"]
+            d_x, d_y, d_z = s["d"]
+            inv_x, inv_y, inv_z = s["inv"]
+            alive = cursor >= 0
+            cur = jnp.maximum(cursor, 0)
+            row = nodes_ref[cur, :]              # (8,) scalar row read
+            col6 = meta_ref[s["base"] + cur, 0]  # leaf -(row+1) | 1st child
+            miss = meta_ref[s["base"] + cur, 1]
 
-        def cond(c):
-            cursor, step = c[0], c[1]
-            return (cursor >= 0) & (step < MAX_STEPS)
-
-        def body(c):
-            cursor, step, t_best, tri_b, u_b, v_b = c
-            row = nodes_ref[cursor, :]              # (8,) scalar row read
-            lo_x, lo_y, lo_z = row[0], row[1], row[2]
-            hi_x, hi_y, hi_z = row[3], row[4], row[5]
-            col6 = meta_ref[base + cursor, 0]  # leaf -(start+1) | first child
-            miss = meta_ref[base + cursor, 1]
-
-            # vector slab test, scalar bounds broadcast over the ray block
-            tx0 = (lo_x - o_x) * inv_x
-            tx1 = (hi_x - o_x) * inv_x
-            ty0 = (lo_y - o_y) * inv_y
-            ty1 = (hi_y - o_y) * inv_y
-            tz0 = (lo_z - o_z) * inv_z
-            tz1 = (hi_z - o_z) * inv_z
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-            # t_best > 0 is the live-lane term: dead lanes carry t_max = 0
-            # (integrator convention) and would otherwise still "want" every
-            # origin-containing node (tn < 0); with it an all-dead block
-            # really does terminate at the root in one step (ADVICE r2)
-            want = (tn <= tf) & (tf > 0) & (tn < t_best) & (t_best > 0)
-            any_want = jnp.any(want)
-
+            want = _slab_want(row, o_x, o_y, o_z, inv_x, inv_y, inv_z,
+                              t_best)
+            any_want = jnp.any(want) & alive
             is_leaf = col6 < 0
 
             def do_leaf(args):
                 t_best, tri_b, u_b, v_b = args
-                start = -col6 - 1
-
-                def leaf_iter(k, inner):
-                    t_best, tri_b, u_b, v_b = inner
-                    lr = leafs_ref[start + k, :]
-                    tid = tid_ref[start + k, 0]
-                    p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                    p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                    p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                    # Moller-Trumbore, scalar triangle vs vector rays
-                    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                    pvx = d_y * e2z - d_z * e2y
-                    pvy = d_z * e2x - d_x * e2z
-                    pvz = d_x * e2y - d_y * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) > 1e-12
-                    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                    tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                    valid = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                             & (u + v <= 1) & (t > 1e-5) & (t < t_best))
+                li = jnp.maximum(-col6 - 1, 0)
+                lr = leafs_ref[li, :]            # whole leaf: one row read
+                tr = tid_ref[li, :]
+                for tid, t, u, v, geo in _leaf_tests(
+                        lr, tr, o_x, o_y, o_z, d_x, d_y, d_z):
+                    valid = geo & (t < t_best)
                     t_best = jnp.where(valid, t, t_best)
                     tri_b = jnp.where(valid, tid, tri_b)
                     u_b = jnp.where(valid, u, u_b)
                     v_b = jnp.where(valid, v, v_b)
-                    return t_best, tri_b, u_b, v_b
-
-                return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter,
-                                         (t_best, tri_b, u_b, v_b))
+                return t_best, tri_b, u_b, v_b
 
             t_best, tri_b, u_b, v_b = jax.lax.cond(
                 any_want & is_leaf, do_leaf, lambda a: a,
                 (t_best, tri_b, u_b, v_b))
 
             descend = any_want & ~is_leaf
-            cursor = jnp.where(descend, col6, miss)  # near child first
-            return cursor, step + 1, t_best, tri_b, u_b, v_b
+            nxt = jnp.where(descend, col6, miss)  # near child first
+            cursor = jnp.where(alive, nxt, cursor)
+            return cursor, t_best, tri_b, u_b, v_b
 
-        init = (jnp.int32(0), jnp.int32(0), t_best0, tri0, uv0, uv0)
-        _, _, t_best, tri_b, u_b, v_b = jax.lax.while_loop(cond, body, init)
+        def cond(c):
+            step = c[0]
+            live = c[1][0] >= 0
+            for j in range(1, cpk):
+                live = live | (c[1 + j][0] >= 0)
+            return live & (step < MAX_STEPS)
 
-        t_out[:] = t_best
-        tri_out[:] = tri_b
-        u_out[:] = u_b
-        v_out[:] = v_b
+        def body(c):
+            step = c[0]
+            st = list(c[1:])
+            for _ in range(UNROLL):
+                for j in range(cpk):
+                    st[j] = one_step(j, st[j])
+            return (step + UNROLL,) + tuple(st)
+
+        t_best0 = tmax_ref[:]
+        tri0 = jnp.full((cpk * SUB, LANE), -1, jnp.int32)
+        uv0 = jnp.zeros((cpk * SUB, LANE), jnp.float32)
+        init = (jnp.int32(0),) + tuple(
+            (jnp.int32(0), t_best0[j * SUB:(j + 1) * SUB],
+             tri0[j * SUB:(j + 1) * SUB], uv0[j * SUB:(j + 1) * SUB],
+             uv0[j * SUB:(j + 1) * SUB]) for j in range(cpk))
+        out = jax.lax.while_loop(cond, body, init)
+        for j in range(cpk):
+            _, t_best, tri_b, u_b, v_b = out[1 + j]
+            sl = slice(j * SUB, (j + 1) * SUB)
+            t_out[sl, rows] = t_best
+            tri_out[sl, rows] = tri_b
+            u_out[sl, rows] = u_b
+            v_out[sl, rows] = v_b
 
     return kernel
 
@@ -233,15 +299,16 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
     Returns (t, tri, u, v): t == t_max & tri == -1 where no hit.
     """
     n = o.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
-    nb = n_pad // BLOCK
+    pb = CPACK * BLOCK  # rays per grid program (CPACK interleaved cursors)
+    n_pad = ((n + pb - 1) // pb) * pb
+    nb = n_pad // pb
     nn = meta8.shape[1]
 
     def pad(x, fill=0.0):
         return jnp.concatenate(
             [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
 
-    shape2 = (nb * SUB, LANE)
+    shape2 = (nb * CPACK * SUB, LANE)
     ox = pad(o[:, 0]).reshape(shape2)
     oy = pad(o[:, 1]).reshape(shape2)
     oz = pad(o[:, 2]).reshape(shape2)
@@ -251,10 +318,11 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
     tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
              -1.0).reshape(shape2)
 
-    # block-representative octant (blocks are octant-pure after the
-    # caller's coherence sort; a mixed block gets a valid but suboptimally
-    # ordered DFS — correctness never depends on the octant choice)
-    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    # sub-block-representative octant (sub-blocks are octant-pure after
+    # the caller's coherence sort; a mixed block gets a valid but
+    # suboptimally ordered DFS — correctness never depends on the octant)
+    d0 = d[jnp.minimum(jnp.arange(nb * CPACK, dtype=jnp.int32) * BLOCK,
+                       n - 1)]
     oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
              | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
              | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
@@ -262,10 +330,10 @@ def packet_closest_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True)
         oct_b = jnp.zeros_like(oct_b)
     oct_b = oct_b[:, None]  # SMEM scalars must be 2D
 
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((CPACK * SUB, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    # whole (NB, 1) table in SMEM (blocks must tile (8,128) or equal
+    # whole (NB*CPACK, 1) table in SMEM (blocks must tile (8,128) or equal
     # the array; a few KB of SMEM is fine), indexed by program_id
     oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -319,8 +387,8 @@ TREELET_CAP = 16384  # prims per treelet: tables ~1.8 MB -> 2x-buffered fits
 class TreeletPack(NamedTuple):
     nodes: jnp.ndarray  # (K, NNmax, 8) f32: lo.xyz hi.xyz pad pad
     meta8: jnp.ndarray  # (K, 8, NNmax, 2) i32: per-octant links, local ids
-    leafs: jnp.ndarray  # (K, Tmax, 16) f32
-    tid: jnp.ndarray    # (K, Tmax, 2) i32
+    leafs: jnp.ndarray  # (K, Lmax, LEAF_SIZE*9) f32: packed whole-leaf rows
+    tid: jnp.ndarray    # (K, Lmax, LEAF_SIZE) i32
 
 
 def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
@@ -362,47 +430,41 @@ def build_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa, first8, miss8,
             stack.append(node + 1)
     roots.sort()
 
-    n_rows = leaf_soa.shape[0]
     slices = []
     for r in roots:
         e = r + ncount[r]
         leaf_off = off[r:e][npr[r:e] > 0]
+        # leaves are LEAF_SIZE-aligned (ops/bvh._align_leaves): each leaf
+        # occupies exactly LEAF_SIZE self-contained rows, so the treelet's
+        # leaf range is exact — no spill margin needed
         row_lo = int(leaf_off.min())
-        # + LEAF_SIZE margin: the kernel reads LEAF_SIZE rows per leaf and
-        # may spill past a short leaf into the next rows (harmless extra
-        # triangle tests, same as the global walk)
-        row_hi = min(int(leaf_off.max()) + LEAF_SIZE, n_rows)
+        row_hi = int(leaf_off.max()) + LEAF_SIZE
         slices.append((r, e, row_lo, row_hi))
 
     k_t = len(slices)
     nn_max = max(e - r for r, e, _, _ in slices)
-    # + LEAF_SIZE: the kernel's fixed-size leaf loop reads up to
-    # LEAF_SIZE-1 rows past the last leaf's start; when the treelet whose
-    # last leaf is clamped at the global table end also defines
-    # t_max_rows, those reads would land out of bounds (ADVICE r2).  The
-    # pad rows carry tid = -1, which the leaf test rejects.
-    t_max_rows = max(rh - rl for _, _, rl, rh in slices) + LEAF_SIZE
+    l_max = max(rh - rl for _, _, rl, rh in slices) // LEAF_SIZE
 
     nodes_t = np.zeros((k_t, nn_max, 8), np.float32)
     meta_t = np.full((k_t, 8, nn_max, 2), -1, np.int32)
-    leafs_t = np.zeros((k_t, t_max_rows, 16), np.float32)
-    tid_t = np.full((k_t, t_max_rows, 2), -1, np.int32)
+    leafs_t = np.zeros((k_t, l_max, LEAF_SIZE * 9), np.float32)
+    tid_t = np.full((k_t, l_max, LEAF_SIZE), -1, np.int32)
 
     for kk, (r, e, rl, rh) in enumerate(slices):
         m = e - r
         nodes_t[kk, :m, 0:3] = lo[r:e]
         nodes_t[kk, :m, 3:6] = hi[r:e]
         leaf_local = npr[r:e] > 0
-        leaf_code = -(off[r:e] - rl + 1)
+        leaf_code = -((off[r:e] - rl) // LEAF_SIZE + 1)
         for o in range(8):
             f = first8[o, r:e] - r
             ms = miss8[o, r:e]
             ms = np.where((ms >= r) & (ms < e), ms - r, -1)
             meta_t[kk, o, :m, 0] = np.where(leaf_local, leaf_code, f)
             meta_t[kk, o, :m, 1] = ms
-        rows = rh - rl
-        leafs_t[kk, :rows, :9] = leaf_soa[rl:rh]
-        tid_t[kk, :rows, 0] = prim_idx[rl:rh]
+        nl = (rh - rl) // LEAF_SIZE
+        leafs_t[kk, :nl] = leaf_soa[rl:rh].reshape(nl, LEAF_SIZE * 9)
+        tid_t[kk, :nl] = prim_idx[rl:rh].reshape(nl, LEAF_SIZE)
 
     return TreeletPack(jnp.asarray(nodes_t), jnp.asarray(meta_t),
                        jnp.asarray(leafs_t), jnp.asarray(tid_t))
@@ -466,86 +528,81 @@ def _make_any_kernel(nn):
 
     def kernel(nodes_ref, meta_ref, leafs_ref, tid_ref, oct_ref, ox, oy, oz,
                dx, dy, dz, tmax_ref, occ_out):
-        base = oct_ref[pl.program_id(0), 0] * nn
-        o_x, o_y, o_z = ox[:], oy[:], oz[:]
-        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        pid = pl.program_id(0)
+        cpk = CPACK
 
         def safe_inv(v):
             tiny = jnp.where(v < 0, -1e-20, 1e-20)
             return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-        inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
-        tm = tmax_ref[:]
-        occ0 = jnp.zeros((SUB, LANE), jnp.int32)
+        streams = []
+        for j in range(cpk):
+            sl = slice(j * SUB, (j + 1) * SUB)
+            o_x, o_y, o_z = ox[sl, :], oy[sl, :], oz[sl, :]
+            d_x, d_y, d_z = dx[sl, :], dy[sl, :], dz[sl, :]
+            streams.append(dict(
+                o=(o_x, o_y, o_z), d=(d_x, d_y, d_z),
+                inv=(safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)),
+                base=oct_ref[pid * cpk + j, 0] * nn,
+                tm=tmax_ref[sl, :],
+            ))
 
-        def cond(c):
-            cursor, step = c[0], c[1]
-            return (cursor >= 0) & (step < MAX_STEPS)
+        def one_step(j, c):
+            cursor, occ = c
+            s = streams[j]
+            o_x, o_y, o_z = s["o"]
+            d_x, d_y, d_z = s["d"]
+            inv_x, inv_y, inv_z = s["inv"]
+            tm = s["tm"]
+            alive = cursor >= 0
+            cur = jnp.maximum(cursor, 0)
+            row = nodes_ref[cur, :]
+            col6 = meta_ref[s["base"] + cur, 0]
+            miss = meta_ref[s["base"] + cur, 1]
 
-        def body(c):
-            cursor, step, occ = c
-            row = nodes_ref[cursor, :]
-            lo_x, lo_y, lo_z = row[0], row[1], row[2]
-            hi_x, hi_y, hi_z = row[3], row[4], row[5]
-            col6 = meta_ref[base + cursor, 0]
-            miss = meta_ref[base + cursor, 1]
-
-            tx0 = (lo_x - o_x) * inv_x
-            tx1 = (hi_x - o_x) * inv_x
-            ty0 = (lo_y - o_y) * inv_y
-            ty1 = (hi_y - o_y) * inv_y
-            tz0 = (lo_z - o_z) * inv_z
-            tz1 = (hi_z - o_z) * inv_z
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1)) * (1.0 + 2.0 * 7.2e-7)
-            live = (occ == 0) & (tm > 0)
-            want = (tn <= tf) & (tf > 0) & (tn < tm) & live
-            any_want = jnp.any(want)
+            live_t = jnp.where(occ == 0, tm, 0.0)  # occluded lanes drop out
+            want = _slab_want(row, o_x, o_y, o_z, inv_x, inv_y, inv_z,
+                              live_t)
+            any_want = jnp.any(want) & alive
             is_leaf = col6 < 0
 
             def do_leaf(occ):
-                start = -col6 - 1
-
-                def leaf_iter(k, occ):
-                    lr = leafs_ref[start + k, :]
-                    tid = tid_ref[start + k, 0]
-                    p0x, p0y, p0z = lr[0], lr[1], lr[2]
-                    p1x, p1y, p1z = lr[3], lr[4], lr[5]
-                    p2x, p2y, p2z = lr[6], lr[7], lr[8]
-                    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-                    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-                    pvx = d_y * e2z - d_z * e2y
-                    pvy = d_z * e2x - d_x * e2z
-                    pvz = d_x * e2y - d_y * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) > 1e-12
-                    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                    tvx, tvy, tvz = o_x - p0x, o_y - p0y, o_z - p0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-                    hit = (ok & (tid >= 0) & (u >= 0) & (v >= 0)
-                           & (u + v <= 1) & (t > 1e-5) & (t < tm))
-                    return jnp.where(hit, 1, occ)
-
-                return jax.lax.fori_loop(0, LEAF_SIZE, leaf_iter, occ)
+                li = jnp.maximum(-col6 - 1, 0)
+                lr = leafs_ref[li, :]
+                tr = tid_ref[li, :]
+                for tid, t, u, v, geo in _leaf_tests(
+                        lr, tr, o_x, o_y, o_z, d_x, d_y, d_z):
+                    occ = jnp.where(geo & (t < tm), 1, occ)
+                return occ
 
             occ = jax.lax.cond(any_want & is_leaf, do_leaf, lambda x: x, occ)
-            all_done = jnp.all((occ == 1) | (tm <= 0))
+            done = jnp.all((occ == 1) | (tm <= 0))  # block early-out
             descend = any_want & ~is_leaf
-            cursor = jnp.where(all_done, -1, jnp.where(descend, col6, miss))
-            return cursor, step + 1, occ
+            nxt = jnp.where(done, -1, jnp.where(descend, col6, miss))
+            cursor = jnp.where(alive, nxt, cursor)
+            return cursor, occ
 
-        _, _, occ = jax.lax.while_loop(cond, body,
-                                       (jnp.int32(0), jnp.int32(0), occ0))
-        occ_out[:] = occ
+        def cond(c):
+            step = c[0]
+            live = c[1][0] >= 0
+            for j in range(1, cpk):
+                live = live | (c[1 + j][0] >= 0)
+            return live & (step < MAX_STEPS)
+
+        def body(c):
+            step = c[0]
+            st = list(c[1:])
+            for _ in range(UNROLL):
+                for j in range(cpk):
+                    st[j] = one_step(j, st[j])
+            return (step + UNROLL,) + tuple(st)
+
+        occ0 = jnp.zeros((SUB, LANE), jnp.int32)
+        init = (jnp.int32(0),) + tuple(
+            (jnp.int32(0), occ0) for _ in range(cpk))
+        out = jax.lax.while_loop(cond, body, init)
+        for j in range(cpk):
+            occ_out[slice(j * SUB, (j + 1) * SUB), :] = out[1 + j][1]
 
     return kernel
 
@@ -554,15 +611,16 @@ def _make_any_kernel(nn):
 def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
     """Occlusion for N rays via the packet kernel; returns bool (N,)."""
     n = o.shape[0]
-    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
-    nb = n_pad // BLOCK
+    pb = CPACK * BLOCK
+    n_pad = ((n + pb - 1) // pb) * pb
+    nb = n_pad // pb
     nn = meta8.shape[1]
 
     def pad(x, fill=0.0):
         return jnp.concatenate(
             [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
 
-    shape2 = (nb * SUB, LANE)
+    shape2 = (nb * CPACK * SUB, LANE)
     ox = pad(o[:, 0]).reshape(shape2)
     oy = pad(o[:, 1]).reshape(shape2)
     oz = pad(o[:, 2]).reshape(shape2)
@@ -572,7 +630,8 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
     tm = pad(jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32),
              -1.0).reshape(shape2)
 
-    d0 = d[jnp.minimum(jnp.arange(nb, dtype=jnp.int32) * BLOCK, n - 1)]
+    d0 = d[jnp.minimum(jnp.arange(nb * CPACK, dtype=jnp.int32) * BLOCK,
+                       n - 1)]
     oct_b = ((d0[:, 0] < 0).astype(jnp.int32)
              | ((d0[:, 1] < 0).astype(jnp.int32) << 1)
              | ((d0[:, 2] < 0).astype(jnp.int32) << 2))
@@ -580,10 +639,10 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
         oct_b = jnp.zeros_like(oct_b)
     oct_b = oct_b[:, None]  # SMEM scalars must be 2D
 
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((CPACK * SUB, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    # whole (NB, 1) table in SMEM (blocks must tile (8,128) or equal
+    # whole (NB*CPACK, 1) table in SMEM (blocks must tile (8,128) or equal
     # the array; a few KB of SMEM is fine), indexed by program_id
     oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -600,7 +659,8 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
     return occ.reshape(-1)[:n] > 0
 
 
-def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
+def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
+                          sort_key="oct_morton"):
     """Production Pallas occlusion query (shadow rays): coherence sort +
     VMEM packet kernel with whole-block early-out.  Mirrors
     ops/bvh.packet_any_hit_xla."""
@@ -610,7 +670,7 @@ def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
-                                  t_max=t_max)
+                                  t_max=t_max, key_mode=sort_key)
         o, d, t_max = o[perm], d[perm], t_max[perm]
     if bvh.treelets is not None:
         occ = treelet_any_hit(bvh.treelets, o, d, t_max, interpret=interpret)
@@ -632,10 +692,43 @@ def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
 PALLAS_MAX_TRIS = 50_000
 
 
-def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
+def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
+                              sort_key="oct_morton", near_r=None):
+    """Production Pallas closest hit; see _packet_closest_hit_pallas_1.
+
+    near_r enables the TWO-PHASE cast: phase 1 walks with t_max capped at
+    near_r, so the want test (tn < t_best) prunes everything outside a
+    near_r-ball around each packet — on dense meshes most bounce rays hit
+    within a small radius, and a short-cap walk visits a tiny fraction of
+    the nodes.  Phase 2 re-casts only the phase-1 misses at full t_max
+    (hit lanes get t_max = 0 and sort to the dead end).  Exact: a closest
+    hit within the cap is THE closest hit; the cap only defers rays, it
+    never drops intersections."""
+    if near_r is not None and near_r > 0:
+        tm = jnp.asarray(t_max, jnp.float32) * jnp.ones((o.shape[0],),
+                                                        jnp.float32)
+        th1 = _packet_closest_hit_pallas_1(
+            bvh, o, d, jnp.minimum(tm, near_r), sort, interpret, sort_key)
+        th2 = _packet_closest_hit_pallas_1(
+            bvh, o, d, jnp.where(th1.hit, 0.0, tm), sort, interpret,
+            sort_key)
+        from .intersect import TriHit
+
+        hit = th1.hit | th2.hit
+        return TriHit(
+            hit=hit,
+            t=jnp.where(th1.hit, th1.t, th2.t),
+            tri=jnp.where(th1.hit, th1.tri, th2.tri),
+            b=jnp.where(th1.hit[:, None], th1.b, th2.b))
+    return _packet_closest_hit_pallas_1(bvh, o, d, t_max, sort, interpret,
+                                        sort_key)
+
+
+def _packet_closest_hit_pallas_1(bvh, o, d, t_max, sort=True,
+                                 interpret=False, sort_key="oct_morton"):
     """Production Pallas closest hit: same coherence sort as
-    ops/bvh.packet_closest_hit_xla (octant + origin-morton,
-    bvh.ray_sort_perm) in front of the VMEM packet kernel.  Measured on a
+    ops/bvh.packet_closest_hit_xla (bvh.ray_sort_perm; key selectable —
+    see its key_mode) in front of the VMEM packet kernel.  Measured on a
     real v5e (5k-tri blob, 1M rays): 82 ms coherent vs 454 ms for the XLA
     packet walk — the per-step scalar row reads beat XLA's (NB,)-gathers
     by keeping the whole walk in VMEM.  Returns TriHit."""
@@ -646,7 +739,7 @@ def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False):
     t_max = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if sort:
         perm, inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
-                                  t_max=t_max)
+                                  t_max=t_max, key_mode=sort_key)
         o, d, t_max = o[perm], d[perm], t_max[perm]
     if bvh.treelets is not None:
         t, tri, u, v = treelet_closest_hit(bvh.treelets, o, d, t_max,

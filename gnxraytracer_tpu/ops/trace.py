@@ -60,14 +60,17 @@ def scene_intersect(scene, cfg, o, d, t_max):
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
                 mode = "stack"
+            key = getattr(cfg, "sort_key", "oct_morton")
             if mode == "pallas":
                 from .pallas_bvh import packet_closest_hit_pallas
 
-                th = packet_closest_hit_pallas(scene.bvh, o, d, t_best)
+                th = packet_closest_hit_pallas(scene.bvh, o, d, t_best,
+                                               sort_key=key)
             elif mode == "packet":
                 from .bvh import packet_closest_hit_xla
 
-                th = packet_closest_hit_xla(scene.bvh, o, d, t_best)
+                th = packet_closest_hit_xla(scene.bvh, o, d, t_best,
+                                            sort_key=key)
             elif mode == "stackless":
                 from .bvh import bvh_closest_hit_stackless
 
@@ -133,14 +136,17 @@ def scene_occluded(scene, cfg, o, d, t_max):
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
                 mode = "stack"
+            key = getattr(cfg, "sort_key", "oct_morton")
             if mode == "pallas":
                 from .pallas_bvh import packet_any_hit_pallas
 
-                occ = occ | packet_any_hit_pallas(scene.bvh, o, d, t_max)
+                occ = occ | packet_any_hit_pallas(scene.bvh, o, d, t_max,
+                                                  sort_key=key)
             elif mode == "packet":
                 from .bvh import packet_any_hit_xla
 
-                occ = occ | packet_any_hit_xla(scene.bvh, o, d, t_max)
+                occ = occ | packet_any_hit_xla(scene.bvh, o, d, t_max,
+                                               sort_key=key)
             elif mode == "stackless":
                 from .bvh import bvh_any_hit_stackless
 

@@ -47,6 +47,21 @@ def load_3d_mesh(path, scale=20.0):
     return v, t
 
 
+def save_3d(path, vertices, triangles, scale=20.0):
+    """Write a mesh in the reference's .3d text format (shape/plyRead.h:
+    header tokens `vertex N face M`, positions divided by the x20
+    load-time scale, faces as `3 i j k`) so the oracle renders the SAME
+    geometry our presets build."""
+    v = np.asarray(vertices, np.float64) / scale
+    t = np.asarray(triangles, np.int64)
+    with open(path, "w") as f:
+        f.write(f"vertex {len(v)} face {len(t)}\n")
+        for p in v:
+            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        for a, b, c in t:
+            f.write(f"3 {a} {b} {c}\n")
+
+
 def load_volume(path):
     """Load the reference's .volume density grid (the reference ships
     Resources/density_render.70.volume but has no loader — SURVEY.md §2.5).

@@ -130,6 +130,55 @@ def cornell_glass(width=500, height=500):
     return scene, cam
 
 
+def cornell_gmd(width=500, height=500, sigma=0.0):
+    """Parity twin of the oracle's `gmd` scene (BASELINE config 3):
+    Cornell + area light + three axis-aligned boxes carrying Glass /
+    Mirror / Disney (tools/ref_oracle/oracle_main.cpp `gmd`; reference
+    classes materials/GlassMaterial.cpp:14, MirrorMaterial.cpp:13,
+    DisneyMaterial.cpp:467-583).  Box literals MUST match the oracle."""
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=sigma)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    glass = b.add_glass(kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5)
+    mirror = b.add_mirror((0.9, 0.9, 0.9))  # the oracle's Kr, not the
+    # reference app's green (0.2, 0.8, 0.2) mirror
+    disney = b.add_disney((0.7, 0.3, 0.2), metallic=0.4, eta=1.5,
+                          rough_u=0.3, rough_v=0.3, specular_tint=0.0,
+                          anisotropic=0.0, sheen=0.5, sheen_tint=0.5,
+                          clearcoat=1.0, clearcoat_gloss=1.0)
+    for lo, hi, mat in (
+            ((-1.9, -2.5, -0.3), (-0.7, -1.3, 0.9), glass),
+            ((0.6, -2.5, -1.2), (2.0, -0.7, 0.2), mirror),
+            ((-0.35, -2.5, 1.0), (0.75, -1.4, 2.1), disney)):
+        v, f = _box_mesh(np.asarray(lo), np.asarray(hi))
+        b.add_mesh(v, f, mat)
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
+def cornell_homogeneous(width=500, height=500):
+    """Parity twin of the oracle's `volpath` scene (BASELINE config 5,
+    homogeneous tier): Cornell + area light + a null-material box holding
+    HomogeneousMedium(sigma_a=0.25, sigma_s=0.45, g=0.3)
+    (media/HomogeneousMedium.cpp:11-43 via
+    integrators/VolPathIntegrator.cpp:24-159)."""
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=0.0)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    hom = b.add_homogeneous_medium((0.25, 0.25, 0.25), (0.45, 0.45, 0.45),
+                                   g=0.3)
+    v, f = _box_mesh(np.array([-1.0, -2.4, -1.0]), np.array([1.0, -0.4, 1.0]))
+    b.add_mesh(v, f, material=-1, medium=(hom, -1))
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
 def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None,
                 mesh_tris=104_882, texture_path=None):
     """BASELINE config 4: ~dragon-scale mesh via BVH + ImageTexture +
@@ -183,6 +232,46 @@ def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None,
     cam = make_perspective_camera(width, height, eye=(0.0, 0.8, 5.0),
                                   look=(0.0, -0.3, 0.0))
     return scene, cam
+
+
+def envmap_mesh_parity(width=64, height=64, n_seg=50, sigma=0.0):
+    """Parity twin of the oracle's `envmesh` scene (BASELINE config 4):
+    blob mesh (flat-shaded matte — the .3d format the oracle loads via
+    shape/plyRead.h:12-55 carries no normals/uvs) + awesomeface-textured
+    floor (textures/ImageTexture.h:42-92) + MonValley InfiniteAreaLight
+    (lights/InfiniteAreaLight.cpp:12-121).  ref_warp applies the
+    reference's r*sqrt(r) load-time radiance warp
+    (InfiniteAreaLight.cpp:41) so both sides integrate the same texels.
+    Write the mesh for the oracle with scene/loaders.save_3d."""
+    import os
+
+    from .loaders import make_blob_mesh
+    from ..utils.image import load_image
+
+    v, t, _n, _uv = make_blob_mesh(n_seg)
+    b = SceneBuilder()
+    blob = b.add_matte((0.2, 0.8, 0.2), sigma=sigma)
+    b.add_mesh(v, t, blob, transform=_translate([0.0, -0.5, 0.0]))
+    tex_path = "/root/reference/Resources/awesomeface.jpg"
+    assert os.path.exists(tex_path)
+    tex = b.add_texture(load_image(tex_path, gamma=True))
+    floor_mat = b.add_matte((1.0, 1.0, 1.0), sigma=0.0, kd_tex=tex)
+    g = 6.0
+    gv = np.array([[-g, -1.7, g], [g, -1.7, g], [-g, -1.7, -g],
+                   [g, -1.7, g], [g, -1.7, -g], [-g, -1.7, -g]], np.float32)
+    guv = np.array([[0, 0], [4, 0], [0, 4], [4, 0], [4, 4], [0, 4]],
+                   np.float32)
+    b.add_mesh(gv, np.arange(6).reshape(2, 3), floor_mat, uvs=guv)
+    hdr_path = "/root/reference/Resources/MonValley1000.hdr"
+    assert os.path.exists(hdr_path)
+    img = load_image(hdr_path)
+    img = img * np.sqrt(img)  # reference's load-time radiance warp
+    l2w = _rot_x(20) @ _rot_y(-90) @ _rot_x(-90)
+    b.set_environment(img, light_to_world=l2w)
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.8, 5.0),
+                                  look=(0.0, -0.3, 0.0))
+    return scene, cam, (v, t)
 
 
 def _rot_x(deg):

@@ -1,4 +1,4 @@
-"""Image parity against the ACTUAL reference renderer (VERDICT item #1).
+"""Image & gradient parity against the ACTUAL reference renderer.
 
 The goldens in tests/golden/ref_*.npz are linear float renders produced by
 the headless oracle (tools/ref_oracle) — the reference's own render core
@@ -107,3 +107,116 @@ def test_reference_parity_bench_estimator():
              "ref_whitted_cornell"])
 def test_reference_parity(name):
     check_parity(name, spp=128, block_tol=0.018, mean_tol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 scenes (VERDICT r2 item 4): BASELINE configs 3/4/5 against the
+# oracle's gmd / envmesh / volpath scenes.  Goldens via
+# `python tools/parity.py goldens ref_gmd_cornell ref_envmesh ref_volpath_hom`.
+# Measured at 64 spp (tools/parity.py compare 64): gmd 1.25%, envmesh 1.64%,
+# volpath 0.86% block8 error; thresholds ~2.5x measured.
+# ---------------------------------------------------------------------------
+
+def check_scene_parity(name, spp, block_tol, mean_tol):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity
+
+    ours = parity.render_ours(name, spp)
+    res = parity.compare_one(name, ours, spp)
+    assert not np.isnan(ours).any()
+    ref, _ = load_golden(name)
+    mean_err = np.abs(ours.mean((0, 1)) - ref.mean((0, 1))) / ref.mean()
+    assert mean_err.max() < mean_tol, res
+    assert res["block8_mad_rel"] < block_tol, res
+
+
+@pytest.mark.slow
+def test_reference_parity_gmd():
+    """Glass/Mirror/Disney boxes in the Cornell box (BASELINE config 3;
+    materials/GlassMaterial.cpp:14, MirrorMaterial.cpp:13,
+    DisneyMaterial.cpp:467-583)."""
+    check_scene_parity("ref_gmd_cornell", spp=64, block_tol=0.032,
+                       mean_tol=0.03)
+
+
+@pytest.mark.slow
+def test_reference_parity_envmesh():
+    """.3d mesh + ImageTexture floor + InfiniteAreaLight HDR (BASELINE
+    config 4; lights/InfiniteAreaLight.cpp:12-121 incl. the r*sqrt(r)
+    load-time warp, textures/ImageTexture.h:42-92, shape/plyRead.h)."""
+    check_scene_parity("ref_envmesh", spp=64, block_tol=0.042, mean_tol=0.03)
+
+
+@pytest.mark.slow
+def test_reference_parity_volpath():
+    """VolPath + homogeneous medium in a null-material box (BASELINE
+    config 5; integrators/VolPathIntegrator.cpp:24-159,
+    media/HomogeneousMedium.cpp:11-43, core/Light.cpp:33-53 Tr walk)."""
+    check_scene_parity("ref_volpath_hom", spp=64, block_tol=0.025,
+                       mean_tol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Gradient parity vs the reference (VERDICT r2 item 3; the BASELINE metric's
+# "pixel-gradient allclose").  Goldens: `python tools/parity.py gradients` —
+# central differences of 4096-spp oracle renders at param +/- h with a
+# deterministic Halton stream (common random numbers, so FD noise is tiny).
+# Our side: AD through the full bounce loop at 256 spp.  Measured rel errs:
+# le 0.2%, sigma 3.4%, kd 11% (the kd gap is OUR AD estimator's variance,
+# not scene mismatch: our own FD at the same settings is 0.487 vs the
+# oracle's 0.484, 0.7% apart).  Tolerances ~2x measured.
+# ---------------------------------------------------------------------------
+
+def _our_ad_grad(param, sigma, spp=256):
+    w = h = 32
+    scene, cam = presets.cornell_box(w, h, sigma=sigma, skybox=False)
+    cfg = P.make_config(scene, w, h, spp=spp, max_depth=8, spp_chunk=32)
+    smp = samplers.make_halton_sampler(spp, w, h)
+    white = 0  # reference_materials registers the white walls first
+
+    def loss(theta):
+        if param == "kd":
+            kd = scene.materials.kd.at[white].mul(theta)
+            sc = scene._replace(materials=scene.materials._replace(kd=kd))
+        elif param == "le":
+            sc = scene._replace(lights=scene.lights._replace(
+                emit=jnp.ones_like(scene.lights.emit) * theta))
+        else:
+            sc = scene._replace(materials=scene.materials._replace(
+                sigma=jnp.ones_like(scene.materials.sigma) * theta))
+        acc = jnp.zeros((w * h, 3), jnp.float32)
+        for s in range(0, spp, 32):
+            acc = acc + P.render_chunk(sc, cam, smp, cfg, s, 32)
+        return jnp.mean(acc / spp)
+
+    import jax
+
+    theta0 = {"kd": 1.0, "le": 5.0, "sigma": sigma}[param]
+    return float(jax.grad(loss)(jnp.float32(theta0)))
+
+
+def _oracle_fd(name):
+    z = np.load(os.path.join(GOLDEN, f"{name}.npz"))
+    return float(((z["plus"] - z["minus"]) / (2 * float(z["h"]))).mean())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,param,sigma,rtol", [
+    ("ref_grad_kd", "kd", 0.0, 0.22),     # AD-estimator noise dominated
+    ("ref_grad_le", "le", 0.0, 0.05),     # emission is linear: tight
+    ("ref_grad_sigma", "sigma", 60.0, 0.10),
+])
+def test_reference_gradient_parity(name, param, sigma, rtol):
+    """d(mean image)/d(param): our AD vs the reference's FD.  Matches
+    materials/MatteMaterial.cpp:14 (kd, sigma) and
+    lights/DiffuseAreaLight.cpp:37-52 (Lemit)."""
+    fd = _oracle_fd(name)
+    ad = _our_ad_grad(param, sigma)
+    assert np.isfinite(ad)
+    assert abs(ad - fd) / abs(fd) < rtol, (param, ad, fd)
+    if param != "sigma":
+        assert ad > 0
+    else:
+        assert ad < 0  # rougher Oren-Nayar walls darken the mean
