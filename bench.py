@@ -100,6 +100,12 @@ def main():
         "Mrays_per_s": round(n_rays / wall / 1e6, 1),
         "rays_per_path": round(n_rays / n_paths, 2),
         "device": str(jax.devices()[0]),
+        # Roofline estimate (PERF.md r3): Cornell is brute-force (16 tris)
+        # — ~1 kFLOP of intersection + ~2 kFLOP shading/sampling per cast
+        # -> fraction of the v5e VPU f32 peak (~0.9 TFLOP/s).  The bench
+        # is NOT flop- or bandwidth-bound (HBM traffic ~3% of 819 GB/s);
+        # the gap is op-issue/latency overhead of many small fused ops.
+        "mfu_vpu_frac_est": round(n_rays * 3000 / wall / 0.9e12, 4),
     }
 
     # ---- BASELINE config 4: dragon-scale mesh + ImageTexture + HDR env +
@@ -121,9 +127,14 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
     scene, camera = presets.envmap_mesh(width, height)  # ~105k tris
     n_tris = int(scene.geom.triangles.shape[0])
     spp_chunk = 4
+    # compact_from=1/frac=4: survivors compacted right after bounce 1 into
+    # a quarter-width buffer (measured 4.05 -> 2.72 s/chunk on v5e;
+    # unbiased — pre-thinning RR — and the variance cost measured at the
+    # noise floor on the envmesh parity golden, PERF.md r3)
     cfg = path.make_config(scene, width, height, spp=spp,
                            max_depth=max_depth, spp_chunk=spp_chunk,
                            rr_threshold=1.0, fast_mis=True, compact_tail=True,
+                           compact_from=1, compact_frac=4,
                            count_rays=True)
     sampler = samplers.make_sobol_sampler(spp)
     img, _ = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
@@ -141,13 +152,23 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
     np.asarray(acc[:1])
     wall = time.time() - t0
     n_paths = width * height * spp
+    n_rays = float(nrays)
     return {
         "mesh_tris": n_tris,
         "mesh_bvh_mode": cfg.bvh_mode,
         "mesh_Mpaths_per_s": round(n_paths / wall / 1e6, 3),
         "mesh_wall_s_64spp": round(wall, 2),
-        "mesh_Mrays_per_s": round(float(nrays) / wall / 1e6, 3),
-        "mesh_rays_per_path": round(float(nrays) / n_paths, 2),
+        "mesh_Mrays_per_s": round(n_rays / wall / 1e6, 3),
+        "mesh_rays_per_path": round(n_rays / n_paths, 2),
+        # Roofline estimate (PERF.md r3 "MFU accounting"): the packet walk
+        # does ~26 kFLOP of (8,128) vector work per visited node per
+        # 1024-ray block and ~1.3 k-steps/block per 1M-ray cast (measured
+        # offline step counts) -> FLOPs/ray ~ steps*26k/1024.  Reported as
+        # a fraction of the v5e VPU f32 peak (~0.9 TFLOP/s), NOT the MXU
+        # bf16 peak: traversal is latency-bound scalar-vector interplay,
+        # which is the honest unit for this workload.
+        "mesh_vpu_frac_est": round(
+            n_rays * 1300 * 26000 / 1024 / wall / 0.9e12, 4),
     }
 
 
