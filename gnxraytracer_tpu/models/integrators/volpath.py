@@ -251,7 +251,10 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
                           1.0 / jnp.maximum(smp.eta * smp.eta, 1e-12))
         eta_scale = jnp.where(surf_lane & smp.specular & smp.transmission,
                               state["eta_scale"] * es_up, state["eta_scale"])
-        rr_max = jnp.max(beta_next * eta_scale[:, None], axis=-1)
+        # q detached: an attached 1/(1-q) reweight biases the gradients
+        # (see path.py's RR comment; measured -12% on d/d(kd))
+        rr_max = jax.lax.stop_gradient(
+            jnp.max(beta_next * eta_scale[:, None], axis=-1))
         do_rr = real_scatter & (rr_max < cfg.rr_threshold) & (state["depth"] > 3)
         q = jnp.maximum(0.05, 1.0 - rr_max)
         killed = do_rr & (u_rr < q)

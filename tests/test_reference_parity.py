@@ -163,10 +163,13 @@ def test_reference_parity_volpath():
 # "pixel-gradient allclose").  Goldens: `python tools/parity.py gradients` —
 # central differences of 4096-spp oracle renders at param +/- h with a
 # deterministic Halton stream (common random numbers, so FD noise is tiny).
-# Our side: AD through the full bounce loop at 256 spp.  Measured rel errs:
-# le 0.2%, sigma 3.4%, kd 11% (the kd gap is OUR AD estimator's variance,
-# not scene mismatch: our own FD at the same settings is 0.487 vs the
-# oracle's 0.484, 0.7% apart).  Tolerances ~2x measured.
+# Our side: AD through the full bounce loop at 256 spp.  This parity suite
+# caught a real estimator bug: the RR survival probability q was computed
+# from the ATTACHED beta, so the 1/(1-q) reweight leaked a spurious
+# gradient term (AD cannot see the survival indicator's matching boundary
+# term) — d/d(kd) read 12% low vs the reference's FD.  With q detached
+# (integrators/path.py RR), measured rel errs: kd 0.2%, le 0.2%, sigma
+# 0.6%.  Tolerances ~5-8x measured.
 # ---------------------------------------------------------------------------
 
 def _our_ad_grad(param, sigma, spp=256):
@@ -204,9 +207,9 @@ def _oracle_fd(name):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name,param,sigma,rtol", [
-    ("ref_grad_kd", "kd", 0.0, 0.22),     # AD-estimator noise dominated
-    ("ref_grad_le", "le", 0.0, 0.05),     # emission is linear: tight
-    ("ref_grad_sigma", "sigma", 60.0, 0.10),
+    ("ref_grad_kd", "kd", 0.0, 0.05),
+    ("ref_grad_le", "le", 0.0, 0.05),
+    ("ref_grad_sigma", "sigma", 60.0, 0.05),
 ])
 def test_reference_gradient_parity(name, param, sigma, rtol):
     """d(mean image)/d(param): our AD vs the reference's FD.  Matches
