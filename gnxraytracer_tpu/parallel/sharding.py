@@ -25,6 +25,13 @@ from ..scene import camera as cam_mod
 def make_mesh(n_devices=None, axis="data"):
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # loud, not silent: a shorter mesh silently changes the
+            # experiment (an "8-device" run quietly becomes 1-device —
+            # exactly how r3's sharding-bench probes fooled us)
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devs)} devices "
+                f"visible on platform {devs[0].platform!r}")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 

@@ -540,8 +540,18 @@ class SceneBuilder:
 
         bvh_arrays = None
         if bvh:
-            from ..ops.bvh import build_bvh
-            bvh_arrays = build_bvh(verts, tris)
+            # bvh=True/"sah": host SAH build (C++ builder w/ numpy
+            # fallback, BVHAccel.cpp:270-357 cost model) — best-quality
+            # tree for static scenes.  bvh="lbvh": on-DEVICE morton
+            # build (ops/lbvh.py, mirroring the reference's HLBVH,
+            # BVHAccel.cpp:369-460) — lower-quality tree but no host
+            # round trip, for interactively edited geometry.
+            if bvh == "lbvh":
+                from ..ops.lbvh import build_lbvh
+                bvh_arrays = build_lbvh(verts, tris)
+            else:
+                from ..ops.bvh import build_bvh
+                bvh_arrays = build_bvh(verts, tris)
 
         scene = Scene(
             geom=geom, materials=mat, lights=lights, env=env, textures=textures,
