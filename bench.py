@@ -153,8 +153,18 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
     wall = time.time() - t0
     n_paths = width * height * spp
     n_rays = float(nrays)
+    mesh_base = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as f:
+            mesh_base = json.load(f)["workloads"]["envmesh_500px_64spp"][
+                "Mpaths_per_s"]
+    except (OSError, KeyError):
+        pass
     return {
         "mesh_tris": n_tris,
+        **({"mesh_vs_baseline": round(n_paths / wall / 1e6 / mesh_base, 2)}
+           if mesh_base else {}),
         "mesh_bvh_mode": cfg.bvh_mode,
         "mesh_Mpaths_per_s": round(n_paths / wall / 1e6, 3),
         "mesh_wall_s_64spp": round(wall, 2),

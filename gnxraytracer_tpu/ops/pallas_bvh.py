@@ -30,10 +30,18 @@ Two hard-won Mosaic constraints (both measured on v5e, PERF.md round 2):
     travel as a tiny SMEM input under a plain grid instead.
 
 Meshes whose tables exceed VMEM run the treelet path (build_treelets /
-treelet_closest_hit): K chained kernel launches over <=16k-prim subtrees.
+treelet_closest_hit): a lax.scan over <=16k-prim subtrees — ONE kernel
+instance per cast site, with each scan iteration dynamic-slicing its
+treelet's tables out of HBM and the kernel's full-array VMEM residency
+streaming them in.  This IS the "HBM-resident tables" design for giant
+meshes: tables live in HBM and stream per treelet (per-node DMA would be
+latency-bound — a dependent scalar VMEM load already costs ~450 ns, and
+SMEM tops out at ~4-8 KB on v5e, both measured, PERF.md r3).
 
 Compiled and benchmarked on real TPU (v5e) — production
-scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas".
+scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas";
+the 105k-tri BASELINE config-4 bench runs it at 42.5 s / 64 spp / 500^2
+(BENCH_r03).
 """
 
 import functools

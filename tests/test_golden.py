@@ -71,6 +71,7 @@ class TestGolden:
         check("cornell_glass_path_32.npy",
               np.asarray(path.render(scene, cam, s, cfg)))
 
+    @pytest.mark.slow
     def test_envmap_mesh_sobol(self):
         """BASELINE config 4 (small stand-in): mesh + ImageTexture + HDR env
         + Sobol through the EWA texture path.  Kept small — the 8-virtual-

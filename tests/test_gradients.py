@@ -26,6 +26,7 @@ def render_with(scene, cam, cfg, s):
 
 
 class TestGradients:
+    @pytest.mark.slow
     def test_grad_wrt_kd_matches_fd(self, setup):
         scene, cam, cfg, s = setup
 
@@ -45,6 +46,7 @@ class TestGradients:
         np.testing.assert_allclose(float(ad), float(fd), rtol=0.08, atol=1e-5)
         assert float(ad) > 0  # brighter wall -> brighter image
 
+    @pytest.mark.slow
     def test_grad_wrt_light_emission(self, setup):
         scene, cam, cfg, s = setup
 
@@ -72,6 +74,7 @@ class TestGradients:
         g = jax.grad(loss)(scene.materials.sigma)
         assert np.isfinite(np.asarray(g)).all()
 
+    @pytest.mark.slow
     def test_train_step_reduces_loss(self, setup):
         """One inverse-rendering step on kd moves the loss down."""
         scene, cam, cfg, s = setup
@@ -94,6 +97,7 @@ class TestGradients:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_8device_step_matches_1device(self):
         """Sharded (8 virtual devices) training step == single-device step."""
         scene, cam = presets.cornell_box(width=8, height=8)
@@ -151,6 +155,8 @@ class TestGradientSurface:
             return jnp.mean(render_with(sc, cam, cfg, s))
 
         self._dir_fd_check(loss, scene.materials.rough_u, 1e-3, 0.25)
+
+    @pytest.mark.slow
 
     def test_grad_wrt_eta_finite_and_nonzero(self):
         """Dielectric eta: the sampled direction is detached

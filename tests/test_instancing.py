@@ -156,6 +156,7 @@ class TestInstancedRender:
         s = samplers.make_halton_sampler(spp, w, h)
         return np.asarray(path.render(scene, cam, s, cfg))
 
+    @pytest.mark.slow
     def test_instanced_matches_flattened(self):
         inst_img = self._render(flatten=False)
         flat_img = self._render(flatten=True)

@@ -26,6 +26,7 @@ class TestSphereScene:
     """BASELINE config 1: matte sphere + point light. Direct lighting only,
     so all four integrators must agree exactly in expectation."""
 
+    @pytest.mark.slow
     def test_integrators_agree(self):
         scene, cam = presets.sphere_point_light(32, 32)
         imgs = render_all(scene, cam, 32, 32, spp=64, max_depth=3)
@@ -139,6 +140,7 @@ class TestWhittedFaithful:
         bs = img_s.reshape(8, 4, 8, 4, 3).mean((1, 3))
         np.testing.assert_allclose(bf, bs, atol=0.12)
 
+    @pytest.mark.slow
     def test_faithful_has_no_fresnel_choice_variance(self):
         """At equal spp, the faithful tree (deterministic branches) must
         have less residual noise than the stochastic single-branch mode

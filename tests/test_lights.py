@@ -2,6 +2,7 @@
 analytic checks against closed forms."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from gnxraytracer_tpu.models import light_dist, lights
@@ -68,6 +69,7 @@ class TestDistantLight:
 
 
 class TestPowerStrategy:
+    @pytest.mark.slow
     def test_power_reduces_variance_vs_uniform(self):
         """With one bright + one negligible light, power selection puts all
         samples on the bright light -> lower variance at equal spp."""

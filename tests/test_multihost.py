@@ -1,6 +1,7 @@
 """Multi-host helpers: range splitting and slab/sample-mode rendering
 (single-process semantics; real multi-host differs only in process ids)."""
 
+import pytest
 import numpy as np
 
 from gnxraytracer_tpu.models.integrators import path
@@ -33,6 +34,7 @@ class TestRealTwoProcess:
     virtual chips each) and check the cross-process sample-split render
     combines to the single-process image."""
 
+    @pytest.mark.slow
     def test_two_process_sample_split(self, tmp_path):
         import os
         import socket
@@ -77,6 +79,7 @@ class TestRealTwoProcess:
 
 
 class TestSlabRender:
+    @pytest.mark.slow
     def test_row_slab_matches_full_render(self):
         scene, cam = presets.cornell_box(width=8, height=8)
         cfg = path.make_config(scene, 8, 8, spp=4, max_depth=2, spp_chunk=4)

@@ -47,6 +47,7 @@ class TestCornellRender:
         assert left[2] > 2.0 * left[0], f"left not blue: {left}"
         assert right[0] > 2.0 * right[2], f"right not red: {right}"
 
+    @pytest.mark.slow
     def test_variance_decreases_with_spp(self):
         scene, cam = presets.cornell_box(width=24, height=24)
         imgs = {}
@@ -63,6 +64,7 @@ class TestCornellRender:
         err32 = np.abs(imgs[32] - ref).mean()
         assert err32 < err4, (err4, err32)
 
+    @pytest.mark.slow
     def test_means_agree_across_samplers(self):
         # Halton and random samplers estimate the same integral
         scene, cam = presets.cornell_box(width=16, height=16)

@@ -1,6 +1,7 @@
 """Sobol' generator-matrix construction + Owen scrambling tests."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from gnxraytracer_tpu.ops import samplers, sobol
@@ -63,6 +64,7 @@ class TestSobolSampler:
         # different pixels get different scrambles of the same index
         assert len(np.unique(u[:, 5])) > 32
 
+    @pytest.mark.slow
     def test_render_with_sobol(self):
         from gnxraytracer_tpu.models.integrators import path
         from gnxraytracer_tpu.scene import presets

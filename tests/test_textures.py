@@ -58,6 +58,7 @@ class TestAtlas:
 
 
 class TestRenderedTextures:
+    @pytest.mark.slow
     def test_kd_texture_colors_render(self):
         def mat(b):
             img = np.zeros((32, 32, 3), np.float32)
@@ -76,6 +77,7 @@ class TestRenderedTextures:
         assert left[..., 2].mean() > 3 * left[..., 0].mean()
         assert right[..., 0].mean() > 3 * right[..., 2].mean()
 
+    @pytest.mark.slow
     def test_bump_mapping_changes_shading(self):
         y, x = np.mgrid[0:64, 0:64] / 64.0
         h = (0.5 + 0.5 * np.sin(x * 20) * np.sin(y * 20)).astype(np.float32)
@@ -130,6 +132,7 @@ class TestMipFiltering:
         s = samplers.make_halton_sampler(spp, w, h)
         return np.asarray(path.render(scene, cam, s, cfg))
 
+    @pytest.mark.slow
     def test_ewa_removes_minification_aliasing(self):
         bil = self._render("bilinear")
         ewa = self._render("ewa")
