@@ -108,6 +108,13 @@ def main():
         "mfu_vpu_frac_est": round(n_rays * 3000 / wall / 0.9e12, 4),
     }
 
+    # ---- the reference app's own default workload: Whitted depth 5,
+    # 32 spp (ui/RenderThread.cpp:159,163) --------------------------------
+    try:
+        result.update(bench_whitted())
+    except Exception as e:
+        result["whitted_error"] = repr(e)[:200]
+
     # ---- BASELINE config 4: dragon-scale mesh + ImageTexture + HDR env +
     # Sobol (VERDICT r1 item 3: the BVH-exercising workload) ---------------
     try:
@@ -115,6 +122,43 @@ def main():
     except Exception as e:  # never lose the cornell line to a mesh failure
         result["mesh_error"] = repr(e)[:200]
     print(json.dumps(result))
+
+
+def bench_whitted(width=500, height=500, spp=32, max_depth=5):
+    from gnxraytracer_tpu.models.integrators import path, whitted
+    from gnxraytracer_tpu.ops import samplers
+    from gnxraytracer_tpu.scene import presets
+
+    import numpy as np
+
+    scene, camera = presets.cornell_box(width=width, height=height)
+    spp_chunk = 8
+    cfg = path.make_config(scene, width, height, spp=spp,
+                           max_depth=max_depth, spp_chunk=spp_chunk)
+    sampler = samplers.make_halton_sampler(spp, width, height)
+    img = whitted._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)
+    np.asarray(img[:1])
+    t0 = time.time()
+    acc = jnp.zeros((width * height, 3), jnp.float32)
+    for s in range(0, spp, spp_chunk):
+        acc = acc + whitted._render_chunk_jit(scene, camera, sampler, cfg, s,
+                                              spp_chunk)
+    np.asarray(acc[:1])
+    wall = time.time() - t0
+    base = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as f:
+            base = json.load(f)["workloads"]["whitted_500px_32spp"][
+                "Mpaths_per_s"]
+    except (OSError, KeyError):
+        pass
+    mp = width * height * spp / wall / 1e6
+    out = {"whitted_Mpaths_per_s": round(mp, 3),
+           "whitted_wall_s_32spp": round(wall, 2)}
+    if base:
+        out["whitted_vs_baseline"] = round(mp / base, 2)
+    return out
 
 
 def bench_mesh(width=500, height=500, spp=64, max_depth=8):

@@ -36,9 +36,10 @@ BLOB_SEG = 50  # 2*50^2 = 5000 tris: oracle renders it at 2048 spp in minutes
 #              kd, le)
 # spp is high so the oracle golden's own MC error is small vs ours.
 def _cfg(w, h, spp, integ, depth, sigma, strategy, skybox, scene="cornell",
-         kd=1.0, le=5.0):
+         kd=1.0, le=5.0, **extra):
     return dict(w=w, h=h, spp=spp, integ=integ, depth=depth, sigma=sigma,
-                strategy=strategy, skybox=skybox, scene=scene, kd=kd, le=le)
+                strategy=strategy, skybox=skybox, scene=scene, kd=kd, le=le,
+                **extra)
 
 
 CONFIGS = {
@@ -78,13 +79,14 @@ def build_oracle():
                        check=True)
 
 
-def _write_blob():
-    if not os.path.exists(BLOB_3D):
+def _write_blob(n_seg=BLOB_SEG):
+    path = BLOB_3D if n_seg == BLOB_SEG else f"/tmp/parity_blob_{n_seg}.3d"
+    if not os.path.exists(path):
         from gnxraytracer_tpu.scene.loaders import make_blob_mesh, save_3d
 
-        v, t, _n, _uv = make_blob_mesh(BLOB_SEG)
-        save_3d(BLOB_3D, v, t)
-    return BLOB_3D
+        v, t, _n, _uv = make_blob_mesh(n_seg)
+        save_3d(path, v, t)
+    return path
 
 
 def run_oracle(name, cfg):
@@ -95,7 +97,7 @@ def run_oracle(name, cfg):
             cfg["strategy"], str(cfg["skybox"]), cfg["scene"],
             str(cfg["kd"]), str(cfg["le"])]
     if cfg["scene"] == "envmesh":
-        argv.append(_write_blob())
+        argv.append(_write_blob(cfg.get("mesh_seg", BLOB_SEG)))
     r = subprocess.run(argv, stdout=subprocess.DEVNULL,
                        stderr=subprocess.PIPE, check=True)
     meta = json.loads(r.stderr.decode().strip().splitlines()[-1])
@@ -145,9 +147,11 @@ def cmd_baseline():
         "path_500px_256spp": _cfg(500, 500, 256, "path", 8, 60.0, "uniform", 1),
         # the reference app's own default: whitted depth 5, 32 spp
         "whitted_500px_32spp": _cfg(500, 500, 32, "whitted", 5, 60.0, "uniform", 1),
-        # BASELINE config 4 scale: the envmesh scene at bench resolution
+        # BASELINE config 4 scale: envmesh at bench resolution with the
+        # DRAGON-SCALE blob (n_seg=229 -> ~105k tris, the same size
+        # bench.py renders) so mesh_vs_baseline compares like with like
         "envmesh_500px_64spp": _cfg(500, 500, 64, "path", 8, 0.0, "uniform", 0,
-                                    scene="envmesh"),
+                                    scene="envmesh", mesh_seg=229),
     }.items():
         _, meta = run_oracle("baseline_" + key, cfg)
         out[key] = meta
