@@ -48,6 +48,10 @@ class RenderCfg(NamedTuple):
     rr_threshold: float = 1.0
     mat_kinds: tuple = ()
     light_kinds: tuple = ()
+    # per-light kind sequence (index -> kind), static; lets integrators
+    # statically skip zero-contribution lights (e.g. whitted's all-lights
+    # loop over a pdf-0 skybox).  Empty when unknown (hand-built configs).
+    light_kind_seq: tuple = ()
     n_tris: int = 0
     n_sphs: int = 0
     n_lights: int = 0
@@ -173,6 +177,7 @@ def make_config(scene, width, height, spp, **kw):
     return RenderCfg(
         width=width, height=height, spp=spp,
         mat_kinds=mat_kinds, light_kinds=light_kinds,
+        light_kind_seq=tuple(np.asarray(scene.lights.kind).tolist()),
         n_tris=int(scene.geom.triangles.shape[0]),
         n_sphs=int(scene.geom.sph_center.shape[0]),
         n_lights=int(scene.lights.kind.shape[0]),

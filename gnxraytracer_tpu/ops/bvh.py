@@ -55,6 +55,10 @@ class BVH(NamedTuple):
     # whose global tables exceed VMEM (ops/pallas_bvh.TreeletPack; built
     # only when the mesh is over pallas_bvh.PALLAS_MAX_TRIS)
     treelets: object = None
+    # Wide (BVH4) treelet tables for the round-4 scalar-stack packet kernel
+    # (ops/pallas_wbvh.WideTreeletPack; built for every SAH tree — K=1 for
+    # small meshes)
+    wtreelets: object = None
 
 
 # ---------------------------------------------------------------------------
@@ -170,14 +174,17 @@ def _finish_build(arrs, vertices, triangles):
     treelets = None
     n_tris = int((order >= 0).sum())
     from .pallas_bvh import PALLAS_MAX_TRIS, build_treelets
+    from .pallas_wbvh import build_wide_treelets
 
     if n_tris > PALLAS_MAX_TRIS:
         treelets = build_treelets(off, npr, ax, lo, hi, order, soa,
                                   first8, miss8)
+    wtreelets = build_wide_treelets(off, npr, ax, lo, hi, order, soa)
     return BVH(jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(off),
                jnp.asarray(npr), jnp.asarray(ax), jnp.asarray(order),
                jnp.asarray(miss), jnp.asarray(soa),
-               jnp.asarray(first8), jnp.asarray(miss8), treelets)
+               jnp.asarray(first8), jnp.asarray(miss8), treelets,
+               wtreelets)
 
 
 def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):

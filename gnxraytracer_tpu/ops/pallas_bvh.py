@@ -676,11 +676,28 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
     return occ.reshape(-1)[:n] > 0
 
 
+def _use_wide(bvh):
+    """Round-4 wide (BVH4) scalar-stack kernel (ops/pallas_wbvh): the
+    production default whenever the build carried wide treelet tables —
+    measured 1.4-2.6x the binary threaded walk across the config-4
+    workloads (PERF.md r4).  GNX_WIDE_BVH=0 falls back to the binary
+    kernel."""
+    import os
+
+    return (getattr(bvh, "wtreelets", None) is not None
+            and os.environ.get("GNX_WIDE_BVH", "1") != "0")
+
+
 def packet_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
                           sort_key="oct_morton"):
     """Production Pallas occlusion query (shadow rays): coherence sort +
     VMEM packet kernel with whole-block early-out.  Mirrors
     ops/bvh.packet_any_hit_xla."""
+    if _use_wide(bvh):
+        from .pallas_wbvh import wide_any_hit_pallas
+
+        return wide_any_hit_pallas(bvh, o, d, t_max, sort=sort,
+                                   interpret=interpret, sort_key=sort_key)
     from .bvh import ray_sort_perm
 
     n = o.shape[0]
@@ -721,6 +738,12 @@ def packet_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
     (hit lanes get t_max = 0 and sort to the dead end).  Exact: a closest
     hit within the cap is THE closest hit; the cap only defers rays, it
     never drops intersections."""
+    if near_r is None and _use_wide(bvh):
+        from .pallas_wbvh import wide_closest_hit_pallas
+
+        return wide_closest_hit_pallas(bvh, o, d, t_max, sort=sort,
+                                       interpret=interpret,
+                                       sort_key=sort_key)
     if near_r is not None and near_r > 0:
         tm = jnp.asarray(t_max, jnp.float32) * jnp.ones((o.shape[0],),
                                                         jnp.float32)

@@ -223,6 +223,32 @@ def sample_bounce_dims(s: Sampler, pixel, sample, base, k: int, max_dims: int):
     raise ValueError(f"in-loop dims unsupported for sampler kind {s.kind!r}")
 
 
+def static_dim_fn(s: Sampler, pixel, sample):
+    """Return col(d) evaluating STATIC dimension d for every lane via the
+    cheapest path for the sampler kind.  For halton this is the host-table
+    static-base digit loop (same values as sample_all_dims' columns);
+    sample_dim's generic halton path for dims >= 2 runs a traced-base
+    32-iteration loop gathering from the 3.7M-entry device permutation
+    table per digit — the pattern PERF.md r1 measured ~50x slower."""
+    if s.kind != "halton":
+        return lambda d: sample_dim(s, pixel, sample, d)
+    host_primes = lds.primes()
+    host_sums = lds.prime_sums()
+    host_perms = lds.radical_inverse_permutations()
+    idx = global_index(s, pixel, sample)
+
+    def col(d):
+        if d == 0:
+            return lds.radical_inverse_base2(idx >> jnp.uint32(s.exp2))
+        if d == 1:
+            return lds.radical_inverse_static(3, idx // jnp.uint32(s.scale3))
+        base = int(host_primes[d])
+        off = int(host_sums[d])
+        return lds.scrambled_radical_inverse_static(
+            base, idx, host_perms[off: off + base])
+    return col
+
+
 def camera_sample(s: Sampler, pixel, sample, width, pixel_filter="box",
                   filter_radius=2.0, filter_alpha=2.0):
     """CameraSample per reference GetCameraSample (core/Sampler.cpp:14-20):
@@ -238,7 +264,8 @@ def camera_sample(s: Sampler, pixel, sample, width, pixel_filter="box",
     """
     px = (pixel % width).astype(jnp.float32)
     py = (pixel // width).astype(jnp.float32)
-    jitter = sample_2d(s, pixel, sample, 0)
+    col = static_dim_fn(s, pixel, sample)
+    jitter = jnp.stack([col(0), col(1)], axis=-1)
     if pixel_filter == "gaussian":
         from jax.scipy.special import erfinv
 
@@ -251,6 +278,6 @@ def camera_sample(s: Sampler, pixel, sample, width, pixel_filter="box",
         offset = sigma * jnp.sqrt(2.0) * erfinv(2.0 * u - 1.0)
         jitter = 0.5 + offset
     p_film = jnp.stack([px, py], axis=-1) + jitter
-    time = sample_dim(s, pixel, sample, 2)
-    p_lens = sample_2d(s, pixel, sample, 3)
+    time = col(2)
+    p_lens = jnp.stack([col(3), col(4)], axis=-1)
     return p_film, time, p_lens

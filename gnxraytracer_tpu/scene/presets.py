@@ -179,6 +179,38 @@ def cornell_homogeneous(width=500, height=500):
     return scene, cam
 
 
+def cornell_gridvol(width=500, height=500):
+    """Parity twin of the oracle's `gridvol` scene (BASELINE config 5,
+    grid tier): Cornell + area light + a null-material box holding a
+    GridDensityMedium built from the reference's shipped
+    Resources/density_render.70.volume (loaded via loaders.load_volume —
+    the reference has no loader, SURVEY.md §2.5).  sigma = file values
+    x 0.1 (sigma_a 1, sigma_s 9), g = 0; mediumToWorld maps the unit grid
+    cube onto the [-1,-2.4,-1]x[1,-0.4,1] box.  Exercises delta tracking
+    (GridDensityMedium::Sample) and ratio-tracking Tr
+    (media/GridDensityMedium.cpp:31-87) against the oracle."""
+    from .loaders import load_volume
+
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=0.0)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    vol = load_volume("/root/reference/Resources/density_render.70.volume")
+    m2w = np.eye(4)
+    m2w[0, 0] = m2w[1, 1] = m2w[2, 2] = 2.0
+    m2w[:3, 3] = [-1.0, -2.4, -1.0]
+    grid_med = b.add_grid_medium(vol["density"],
+                                 np.asarray(vol["sigma_a"]) * 0.1,
+                                 np.asarray(vol["sigma_s"]) * 0.1, g=0.0,
+                                 medium_to_world=m2w)
+    v, f = _box_mesh(np.array([-1.0, -2.4, -1.0]), np.array([1.0, -0.4, 1.0]))
+    b.add_mesh(v, f, material=-1, medium=(grid_med, -1))
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
 def envmap_mesh(width=500, height=500, hdr_path=None, mesh=None,
                 mesh_tris=104_882, texture_path=None):
     """BASELINE config 4: ~dragon-scale mesh via BVH + ImageTexture +

@@ -158,6 +158,18 @@ def test_reference_parity_volpath():
                        mean_tol=0.02)
 
 
+@pytest.mark.slow
+def test_reference_parity_gridvol():
+    """VolPath + GridDensityMedium built from the reference's shipped
+    density_render.70.volume (BASELINE config 5 proper, VERDICT r3 item
+    4): delta-tracking Sample + ratio-tracking Tr with RR
+    (media/GridDensityMedium.cpp:31-87) vs the oracle's `gridvol` scene.
+    Measured 1.1% block8 err at 64 spp vs the 2048-spp golden;
+    threshold ~2.5x."""
+    check_scene_parity("ref_gridvol", spp=64, block_tol=0.028,
+                       mean_tol=0.02)
+
+
 # ---------------------------------------------------------------------------
 # Gradient parity vs the reference (VERDICT r2 item 3; the BASELINE metric's
 # "pixel-gradient allclose").  Goldens: `python tools/parity.py gradients` —

@@ -55,6 +55,10 @@ CONFIGS = {
                         scene="envmesh"),
     "ref_volpath_hom": _cfg(64, 64, 2048, "volpath", 8, 0.0, "uniform", 0,
                             scene="volpath"),
+    # round-4 (VERDICT r3 item 4): BASELINE config 5 proper — grid medium
+    # from density_render.70.volume (delta tracking + ratio-tracking Tr)
+    "ref_gridvol": _cfg(64, 64, 2048, "volpath", 8, 0.0, "uniform", 0,
+                        scene="gridvol"),
 }
 
 # FD gradient goldens (VERDICT item 3): central differences of the oracle's
@@ -203,6 +207,8 @@ def build_our_scene(meta):
         return presets.cornell_gmd(w, h, sigma=meta["sigma"])
     if scene_name == "volpath":
         return presets.cornell_homogeneous(w, h)
+    if scene_name == "gridvol":
+        return presets.cornell_gridvol(w, h)
     if scene_name == "envmesh":
         scene, cam, _mesh = presets.envmap_mesh_parity(
             w, h, n_seg=BLOB_SEG, sigma=meta["sigma"])

@@ -62,6 +62,7 @@
 #include "lights/SkyBoxLight.h"
 #include "lights/InfiniteAreaLight.h"
 #include "media/HomogeneousMedium.h"
+#include "media/GridDensityMedium.h"
 #include "integrators/PathIntegrator.h"
 #include "integrators/WhittedIntegrator.h"
 #include "integrators/DirectLightingIntegrator.h"
@@ -171,6 +172,42 @@ static void addBox(std::vector<std::shared_ptr<Primitive>> &prims,
     }
 }
 
+// Parse the reference's Resources/density_render.70.volume (text header
+// "nx N ny N nz N" + p0/p1/sigma_a/sigma_s lines + nx*ny*nz floats in
+// pbrt layout d[(z*ny+y)*nx+x]).  The reference SHIPS this asset but has
+// no loader (SURVEY.md §2.5) — this defines one so GridDensityMedium
+// (media/GridDensityMedium.cpp:31-87) can be parity-tested at all.
+// sigma values are scaled by 0.1 (file: 10/90 -> 1/9), matching
+// gnxraytracer_tpu/scene/presets.cornell_gridvol.
+static std::shared_ptr<Medium> loadGridMedium(const std::string &path,
+                                              const Transform &m2w) {
+    FILE *f = fopen(path.c_str(), "r");
+    if (!f) { fprintf(stderr, "cannot open %s\n", path.c_str()); exit(2); }
+    char tag[32];
+    int nx = 0, ny = 0, nz = 0;
+    if (fscanf(f, " nx %d ny %d nz %d", &nx, &ny, &nz) != 3) {
+        fprintf(stderr, "bad .volume header\n"); exit(2);
+    }
+    float p0[3], p1[3], sa[3], ss[3];
+    if (fscanf(f, " %31s %f %f %f", tag, &p0[0], &p0[1], &p0[2]) != 4 ||
+        fscanf(f, " %31s %f %f %f", tag, &p1[0], &p1[1], &p1[2]) != 4 ||
+        fscanf(f, " %31s %f %f %f", tag, &sa[0], &sa[1], &sa[2]) != 4 ||
+        fscanf(f, " %31s %f %f %f", tag, &ss[0], &ss[1], &ss[2]) != 4) {
+        fprintf(stderr, "bad .volume header lines\n"); exit(2);
+    }
+    std::vector<Float> d((size_t)nx * ny * nz, 0.f);
+    for (size_t i = 0; i < d.size(); ++i) {
+        double v = 0;
+        if (fscanf(f, " %lf", &v) != 1) break;
+        d[i] = (Float)v;
+    }
+    fclose(f);
+    Spectrum sigA, sigS;
+    for (int c = 0; c < 3; ++c) { sigA[c] = sa[c] * 0.1f; sigS[c] = ss[c] * 0.1f; }
+    return std::make_shared<GridDensityMedium>(sigA, sigS, 0.f, nx, ny, nz,
+                                               m2w, d.data());
+}
+
 int main(int argc, char **argv) {
     if (argc < 10) {
         fprintf(stderr, "usage: %s OUT.raw W H SPP path|whitted|direct|volpath "
@@ -216,7 +253,8 @@ int main(int argc, char **argv) {
     std::vector<std::shared_ptr<Light>> lights;
     std::shared_ptr<Medium> keepMedium;  // scene-lifetime medium
 
-    if (sceneName == "cornell" || sceneName == "gmd" || sceneName == "volpath") {
+    if (sceneName == "cornell" || sceneName == "gmd" ||
+        sceneName == "volpath" || sceneName == "gridvol") {
         addCornell(prims, red, blue, white);
         addAreaLight(prims, lights, dragon, Le);
     }
@@ -287,6 +325,17 @@ int main(int argc, char **argv) {
         // (mirrored in presets.cornell_homogeneous)
         keepMedium = std::make_shared<HomogeneousMedium>(
             Spectrum(0.25f), Spectrum(0.45f), 0.3f);
+        addBox(prims, {-1.0f, -2.4f, -1.0f}, {1.0f, -0.4f, 1.0f}, nullptr,
+               MediumInterface(keepMedium.get(), nullptr));
+    } else if (sceneName == "gridvol") {
+        // BASELINE config 5 proper: GridDensityMedium from the shipped
+        // density_render.70.volume in a null-material box (delta tracking
+        // Sample + ratio-tracking Tr, media/GridDensityMedium.cpp:31-87).
+        // mediumToWorld maps the unit grid cube onto the box.
+        static Transform m2w = Translate(Vector3f(-1.f, -2.4f, -1.f)) *
+                               Scale(2.f, 2.f, 2.f);
+        keepMedium = loadGridMedium(
+            "/root/reference/Resources/density_render.70.volume", m2w);
         addBox(prims, {-1.0f, -2.4f, -1.0f}, {1.0f, -0.4f, 1.0f}, nullptr,
                MediumInterface(keepMedium.get(), nullptr));
     }
