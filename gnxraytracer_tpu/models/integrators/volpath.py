@@ -277,6 +277,14 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         )
 
     state = jax.lax.fori_loop(0, n_iters, bounce, state)
+    if cfg.count_rays:
+        # debug counter (ADVICE r2 item 3 / VERDICT r3 weak #8): lanes
+        # still alive after max_depth+1+vol_null_extra iterations were
+        # TRUNCATED — they crossed more than vol_null_extra null
+        # boundaries beyond their logical depth.  Nonzero counts mean
+        # cfg.vol_null_extra is too small for the scene's shell nesting.
+        n_truncated = jnp.sum(state["alive"].astype(jnp.float32))
+        return state["L"], n_truncated
     return state["L"]
 
 
@@ -288,8 +296,12 @@ def render_chunk(scene, camera, sampler, cfg, sample_start, n_samples):
         sampler, pixel, sample, cfg.width, cfg.pixel_filter,
         cfg.filter_radius, cfg.filter_alpha)
     o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-    L = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
-    return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+    out = trace_paths(scene, cfg, sampler, pixel, sample, o, d)
+    L, n_trunc = out if cfg.count_rays else (out, None)
+    img = jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
+    if cfg.count_rays:
+        return img, n_trunc
+    return img
 
 
 _render_chunk_jit = jax.jit(render_chunk, static_argnames=("cfg", "n_samples"))

@@ -94,6 +94,11 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
 
         alive = state["alive"] & hit.hit
         wo_local = trace.to_local(it, it.wo)
+        # one one-hot matmul fetches every material column for the depth
+        # (PERF.md: beats the ~10 per-lane column gathers each per-light
+        # evaluate would otherwise issue)
+        mats_row = mat_mod.gather_material_table(scene.materials,
+                                                 jnp.maximum(it.mat, 0))
 
         # direct lighting: one sample from EVERY light (Whitted loop).
         # Skybox lights are statically skipped: SkyBoxLight::Sample_Li is
@@ -107,7 +112,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             lidx = jnp.full((n,), li_idx, jnp.int32)
             ls = lights_mod.sample_li(scene, cfg, lidx, it.p, u_l)
             wi_local = trace.to_local(it, ls.wi)
-            f, _pdf = mat_mod.evaluate(scene.materials, it.mat, cfg, wo_local, wi_local)
+            f, _pdf = mat_mod.evaluate(mats_row, None, cfg, wo_local, wi_local)
             f = f * absdot(ls.wi, it.ns)[..., None]
             can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
             so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
@@ -123,7 +128,7 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         # specular continuation (SpecularReflect/Transmit)
         u_s = jnp.stack([dim_col(base + 2 * cfg.n_lights),
                          dim_col(base + 2 * cfg.n_lights + 1)], axis=-1)
-        smp = mat_mod.sample(scene.materials, it.mat, cfg, wo_local, u_s,
+        smp = mat_mod.sample(mats_row, None, cfg, wo_local, u_s,
                              u_s[..., 0])
         continue_spec = alive & smp.specular & smp.valid
         beta = state["beta"] * smp.weight

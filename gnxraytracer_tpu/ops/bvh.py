@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import INFINITY
-from .intersect import TriHit, _permute_shear
+from .intersect import TriHit, _permute_shear, _watertight_one
 
 LEAF_SIZE = 4
 MAX_STACK = 64  # matches the reference's 64-deep stack (BVHAccel.cpp:661)
@@ -150,7 +150,9 @@ def _align_leaves(off, npr, order, leaf_size=LEAF_SIZE):
     order = np.asarray(order, np.int64)
     leaves = np.nonzero(npr > 0)[0]
     if len(leaves) == 0:
-        return off.astype(np.int32), np.full(leaf_size, -1, np.int32)
+        # leafless (empty-mesh) tree: zero leaf rows, offsets untouched —
+        # both return values agree there is nothing to intersect
+        return off.astype(np.int32), np.zeros((0,), np.int32)
     leaves = leaves[np.argsort(off[leaves], kind="stable")]
     cnt = npr[leaves]
     nl = len(leaves)
@@ -615,6 +617,18 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
     tm = pad(t_max, -1.0).reshape(nb, b)
     inv_d = 1.0 / jnp.where(jnp.abs(dp) < 1e-20,
                             jnp.where(dp < 0, -1e-20, 1e-20), dp)
+    # WATERTIGHT leaf frame (ADVICE r3: the XLA packet leaf tests shipped
+    # Moller-Trumbore with ad-hoc epsilons while the Pallas + brute-force
+    # paths share shape/Triangle.cpp:71-300 semantics — the two production
+    # modes could disagree at shared mesh edges).  Permute/shear per ray,
+    # computed once per cast.
+    (wm0, wm1), wshear = _permute_shear(op.reshape(-1, 3), dp.reshape(-1, 3))
+    wm0 = wm0.reshape(nb, b)
+    wm1 = wm1.reshape(nb, b)
+    wsx = wshear[:, 0].reshape(nb, b)
+    wsy = wshear[:, 1].reshape(nb, b)
+    wsz = wshear[:, 2].reshape(nb, b)
+    ox_, oy_, oz_ = op[..., 0], op[..., 1], op[..., 2]
 
     # Ordered (front-to-back) traversal: each block walks the threading for
     # its majority direction octant (after the sort, blocks are octant-pure
@@ -675,24 +689,15 @@ def packet_closest_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
         for k in range(LEAF_SIZE):
             ids = bvh.prim_idx[off + k]          # (NB,)
             row = bvh.leaf_soa[off + k]          # (NB,9)
-            p0 = row[:, None, 0:3]
-            e1 = row[:, None, 3:6] - p0
-            e2 = row[:, None, 6:9] - p0
-            pv = jnp.cross(dp, e2)
-            det = jnp.sum(e1 * pv, -1)
-            ok = jnp.abs(det) > 1e-12
-            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tv = op - p0
-            u = jnp.sum(tv * pv, -1) * invd
-            qv = jnp.cross(tv, e1)
-            v = jnp.sum(dp * qv, -1) * invd
-            t = jnp.sum(e2 * qv, -1) * invd
-            valid = (ok & (u >= 0) & (v >= 0) & (u + v <= 1)
-                     & (t > 1e-5) & (t < t_best)
-                     & (is_leaf & (ids >= 0))[:, None])
+            valid, t, _b0, b1, b2 = _watertight_one(
+                ox_, oy_, oz_, wm0, wm1, wsx, wsy, wsz, t_best,
+                (row[:, 0:1], row[:, 1:2], row[:, 2:3]),
+                (row[:, 3:4], row[:, 4:5], row[:, 5:6]),
+                (row[:, 6:7], row[:, 7:8], row[:, 8:9]))
+            valid = valid & (t < t_best) & (is_leaf & (ids >= 0))[:, None]
             t_best = jnp.where(valid, t, t_best)
             tri_b = jnp.where(valid, ids[:, None], tri_b)
-            uv_b = jnp.where(valid[..., None], jnp.stack([u, v], -1), uv_b)
+            uv_b = jnp.where(valid[..., None], jnp.stack([b1, b2], -1), uv_b)
 
         cursor = jnp.where(is_inner, nxt, miss)
         cursor = jnp.where(active, cursor, st.cursor)
@@ -734,6 +739,14 @@ def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
     tm = pad(t_max, -1.0).reshape(nb, b)
     inv_d = 1.0 / jnp.where(jnp.abs(dp) < 1e-20,
                             jnp.where(dp < 0, -1e-20, 1e-20), dp)
+    # watertight leaf frame (see packet_closest_hit_xla)
+    (wm0, wm1), wshear = _permute_shear(op.reshape(-1, 3), dp.reshape(-1, 3))
+    wm0 = wm0.reshape(nb, b)
+    wm1 = wm1.reshape(nb, b)
+    wsx = wshear[:, 0].reshape(nb, b)
+    wsy = wshear[:, 1].reshape(nb, b)
+    wsz = wshear[:, 2].reshape(nb, b)
+    ox_, oy_, oz_ = op[..., 0], op[..., 1], op[..., 2]
 
     def cond(c):
         cursor, occ = c
@@ -759,20 +772,12 @@ def packet_any_hit_xla(bvh: BVH, o, d, t_max, packet=PACKET, sort=True,
         for k in range(LEAF_SIZE):
             ids = bvh.prim_idx[off + k]
             row = bvh.leaf_soa[off + k]
-            p0 = row[:, None, 0:3]
-            e1 = row[:, None, 3:6] - p0
-            e2 = row[:, None, 6:9] - p0
-            pv = jnp.cross(dp, e2)
-            det = jnp.sum(e1 * pv, -1)
-            ok = jnp.abs(det) > 1e-12
-            invd = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-            tv = op - p0
-            u = jnp.sum(tv * pv, -1) * invd
-            qv = jnp.cross(tv, e1)
-            v = jnp.sum(dp * qv, -1) * invd
-            t = jnp.sum(e2 * qv, -1) * invd
-            occ = occ | (ok & (u >= 0) & (v >= 0) & (u + v <= 1)
-                         & (t > 1e-5) & (t < tm)
+            valid, t, _b0, _b1, _b2 = _watertight_one(
+                ox_, oy_, oz_, wm0, wm1, wsx, wsy, wsz, tm,
+                (row[:, 0:1], row[:, 1:2], row[:, 2:3]),
+                (row[:, 3:4], row[:, 4:5], row[:, 5:6]),
+                (row[:, 6:7], row[:, 7:8], row[:, 8:9]))
+            occ = occ | (valid & (t < tm)
                          & (is_leaf & (ids >= 0))[:, None])
         all_done = jnp.all(occ | (tm <= 0), axis=-1)
         cursor = jnp.where(is_inner & ~all_done, node + 1, miss)

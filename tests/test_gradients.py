@@ -157,8 +157,9 @@ class TestGradientSurface:
         self._dir_fd_check(loss, scene.materials.rough_u, 1e-3, 0.25)
 
     @pytest.mark.slow
-
     def test_grad_wrt_eta_finite_and_nonzero(self):
+        # slow-tier on purpose: 16x16x16spp glass AD costs ~20s on the
+        # 2-core builder (same re-triage as the other >=15s cases)
         """Dielectric eta: the sampled direction is detached
         (stop_gradient), but the Fresnel split is attached — gradient must
         be finite and nonzero on a glass scene."""

@@ -159,6 +159,45 @@ def test_reference_parity_volpath():
 
 
 @pytest.mark.slow
+def test_reference_parity_mesh_bench_estimator():
+    """The exact estimator bench.py's MESH workload ships (fast_mis +
+    compact_from=1/compact_frac=4 pre-thinning RR + Sobol) vs the oracle's
+    envmesh golden (VERDICT r3 weak #5: the aggressive compaction config
+    was not parity-guarded — its unbiasedness claim was a one-off PERF.md
+    measurement).  Uses the same 5000-tri parity blob as ref_envmesh."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "ref_envmesh.npz"))
+    import json as _json
+
+    meta = _json.loads(str(z["meta"]))
+    ref = z["image"]
+    w, h, spp = meta["w"], meta["h"], 64
+    scene, cam, _m = presets.envmap_mesh_parity(w, h, n_seg=parity.BLOB_SEG,
+                                                sigma=meta["sigma"])
+    cfg = P.make_config(scene, w, h, spp=spp, max_depth=meta["max_depth"],
+                        spp_chunk=32, rr_threshold=1.0, fast_mis=True,
+                        compact_tail=True, compact_from=1, compact_frac=4,
+                        count_rays=True)
+    smp = samplers.make_sobol_sampler(spp)
+    acc = jnp.zeros((w * h, 3), jnp.float32)
+    for s in range(0, spp, 32):
+        img, _nr = P._render_chunk_jit(scene, cam, smp, cfg, s, 32)
+        acc = acc + img
+    ours = np.asarray(acc).reshape(h, w, 3) / spp
+    assert not np.isnan(ours).any()
+    from parity import block_mean as bm
+
+    berr = np.abs(bm(ours) - bm(ref)).mean() / ref.mean()
+    assert berr < 0.042, f"mesh-bench estimator block8 rel err {berr:.4f}"
+    assert np.abs(ours.mean() - ref.mean()) / ref.mean() < 0.03
+
+
+@pytest.mark.slow
 def test_reference_parity_gridvol():
     """VolPath + GridDensityMedium built from the reference's shipped
     density_render.70.volume (BASELINE config 5 proper, VERDICT r3 item
@@ -235,3 +274,79 @@ def test_reference_gradient_parity(name, param, sigma, rtol):
         assert ad > 0
     else:
         assert ad < 0  # rougher Oren-Nayar walls darken the mean
+
+
+# ---------------------------------------------------------------------------
+# Round-4 gradient-parity breadth (VERDICT r3 item 5): Disney roughness
+# (materials/DisneyMaterial.h:17), homogeneous-medium sigma
+# (media/HomogeneousMedium.cpp:17-43), and env-map brightness
+# (lights/InfiniteAreaLight.cpp:62-121).  Oracle FD via the scene-specific
+# `pscale` knob (tools/ref_oracle/oracle_main.cpp); our AD scales the
+# matching parameter at theta = 1.
+# ---------------------------------------------------------------------------
+
+def _our_ad_grad_pscale(scene_name, spp=256):
+    import jax
+
+    w = h = 32
+    if scene_name == "gmd":
+        scene, cam = presets.cornell_gmd(w, h, sigma=0.0)
+    elif scene_name == "volpath":
+        scene, cam = presets.cornell_homogeneous(w, h)
+    else:  # envmesh
+        import sys as _s
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                       "tools"))
+        import parity as _p
+
+        scene, cam, _m = presets.envmap_mesh_parity(w, h, n_seg=_p.BLOB_SEG,
+                                                    sigma=0.0)
+    from gnxraytracer_tpu.models.integrators import volpath as V
+    from gnxraytracer_tpu.scene.scene import MAT_DISNEY
+
+    cfg = P.make_config(scene, w, h, spp=spp, max_depth=8, spp_chunk=32)
+    mod = V if scene_name == "volpath" else P
+    smp = samplers.make_halton_sampler(spp, w, h)
+
+    def loss(theta):
+        if scene_name == "gmd":
+            is_d = scene.materials.kind == MAT_DISNEY
+            ru = jnp.where(is_d, scene.materials.rough_u * theta,
+                           scene.materials.rough_u)
+            rv = jnp.where(is_d, scene.materials.rough_v * theta,
+                           scene.materials.rough_v)
+            sc = scene._replace(materials=scene.materials._replace(
+                rough_u=ru, rough_v=rv))
+        elif scene_name == "volpath":
+            sc = scene._replace(media=scene.media._replace(
+                sigma_a=scene.media.sigma_a * theta,
+                sigma_s=scene.media.sigma_s * theta))
+        else:
+            sc = scene._replace(env=scene.env._replace(
+                image=scene.env.image * theta))
+        acc = jnp.zeros((w * h, 3), jnp.float32)
+        for s in range(0, spp, 32):
+            acc = acc + mod.render_chunk(sc, cam, smp, cfg, s, 32)
+        return jnp.mean(acc / spp)
+
+    import jax as _jax
+
+    return float(_jax.grad(loss)(jnp.float32(1.0)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,scene_name,rtol", [
+    # Disney-roughness FD signal is tiny (mean |dI/dtheta| ~ 2.5e-4 on an
+    # image mean ~0.2), so its relative tolerance is wider
+    ("ref_grad_disney_rough", "gmd", 0.25),
+    ("ref_grad_med_sigma", "volpath", 0.08),
+    ("ref_grad_env", "envmesh", 0.08),
+])
+def test_reference_gradient_parity_breadth(name, scene_name, rtol):
+    """d(mean image)/d(scale) for Disney roughness / medium sigma /
+    env-map brightness: our AD at theta=1 vs the oracle's central FD."""
+    fd = _oracle_fd(name)
+    ad = _our_ad_grad_pscale(scene_name)
+    assert np.isfinite(ad)
+    assert abs(ad - fd) / abs(fd) < rtol, (scene_name, ad, fd)

@@ -74,6 +74,22 @@ GRAD_CONFIGS = {
                     _cfg(32, 32, 4096, "path", 8, 0.0, "uniform", 0)),
     "ref_grad_sigma": ("sigma", 5.0,
                        _cfg(32, 32, 4096, "path", 8, 60.0, "uniform", 0)),
+    # round-4 breadth (VERDICT r3 item 5): pscale is a scene-specific
+    # parameter scale wired through the oracle (oracle_main.cpp):
+    #   gmd     -> Disney roughness x pscale (DisneyMaterial.h:17)
+    #   volpath -> homogeneous sigma_a/sigma_s x pscale
+    #              (media/HomogeneousMedium.cpp:17-43)
+    #   envmesh -> InfiniteAreaLight power x pscale
+    #              (lights/InfiniteAreaLight.cpp:62-121)
+    "ref_grad_disney_rough": ("pscale", 0.2,
+                              _cfg(32, 32, 4096, "path", 8, 0.0, "uniform",
+                                   0, scene="gmd")),
+    "ref_grad_med_sigma": ("pscale", 0.1,
+                           _cfg(32, 32, 4096, "volpath", 8, 0.0, "uniform",
+                                0, scene="volpath")),
+    "ref_grad_env": ("pscale", 0.2,
+                     _cfg(32, 32, 2048, "path", 8, 0.0, "uniform", 0,
+                          scene="envmesh")),
 }
 
 
@@ -102,6 +118,10 @@ def run_oracle(name, cfg):
             str(cfg["kd"]), str(cfg["le"])]
     if cfg["scene"] == "envmesh":
         argv.append(_write_blob(cfg.get("mesh_seg", BLOB_SEG)))
+    elif "pscale" in cfg:
+        argv.append("-")  # placeholder mesh arg
+    if "pscale" in cfg:
+        argv.append(str(cfg["pscale"]))
     r = subprocess.run(argv, stdout=subprocess.DEVNULL,
                        stderr=subprocess.PIPE, check=True)
     meta = json.loads(r.stderr.decode().strip().splitlines()[-1])
@@ -125,7 +145,10 @@ def cmd_gradients():
     """FD gradient goldens: oracle renders at param +/- h, stored raw so
     the test can block-average and difference them itself."""
     os.makedirs(GOLDEN, exist_ok=True)
+    only = sys.argv[2:] if len(sys.argv) > 2 else None
     for name, (param, h, cfg) in GRAD_CONFIGS.items():
+        if only and name not in only:
+            continue
         imgs = {}
         for sgn, tag in ((+1, "plus"), (-1, "minus")):
             c = dict(cfg)
@@ -133,6 +156,8 @@ def cmd_gradients():
                 c["kd"] = cfg["kd"] + sgn * h
             elif param == "le":
                 c["le"] = cfg["le"] + sgn * h
+            elif param == "pscale":
+                c["pscale"] = 1.0 + sgn * h
             else:
                 c["sigma"] = cfg["sigma"] + sgn * h
             imgs[tag], meta = run_oracle(f"{name}_{tag}", c)

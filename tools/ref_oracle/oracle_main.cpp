@@ -225,7 +225,13 @@ int main(int argc, char **argv) {
     const std::string sceneName = argc > 10 ? argv[10] : "cornell";
     const float kdScale = argc > 11 ? (float)atof(argv[11]) : 1.0f;
     const float Le = argc > 12 ? (float)atof(argv[12]) : 5.0f;
-    const std::string mesh3d = argc > 13 ? argv[13] : "";
+    std::string mesh3d = argc > 13 ? argv[13] : "";
+    if (mesh3d == "-") mesh3d = "";
+    // Scene-specific FD parameter scale (gradient-parity breadth,
+    // VERDICT r3 item 5): gmd -> Disney roughness x PSCALE; volpath ->
+    // homogeneous sigma_a/sigma_s x PSCALE; envmesh -> InfiniteAreaLight
+    // power x PSCALE.
+    const float pscale = argc > 14 ? (float)atof(argv[14]) : 1.0f;
 
     ClockRandomInit();
 
@@ -268,7 +274,8 @@ int main(int argc, char **argv) {
         auto mirror = std::make_shared<MirrorMaterial>(
             stex(0.9f, 0.9f, 0.9f), ftex(0.f));
         auto disney = std::make_shared<DisneyMaterial>(
-            stex(0.7f, 0.3f, 0.2f), ftex(0.4f), ftex(1.5f), ftex(0.3f),
+            stex(0.7f, 0.3f, 0.2f), ftex(0.4f), ftex(1.5f),
+            ftex(0.3f * pscale),
             ftex(0.f), ftex(0.f), ftex(0.5f), ftex(0.5f), ftex(1.0f),
             ftex(1.0f), ftex(0.f), stex(0.f, 0.f, 0.f), false, ftex(0.f),
             ftex(1.0f), ftex(0.f));
@@ -318,13 +325,13 @@ int main(int argc, char **argv) {
         // InfiniteAreaLight exactly as AddInfLight (ui/ModelList.cpp:172-179)
         Transform l2w = RotateX(20) * RotateY(-90) * RotateX(-90);
         lights.push_back(std::make_shared<InfiniteAreaLight>(
-            l2w, Spectrum(1.0f), 10,
+            l2w, Spectrum(1.0f * pscale), 10,
             "/root/reference/Resources/MonValley1000.hdr"));
     } else if (sceneName == "volpath") {
         // config 5: null-material box holding a homogeneous medium
         // (mirrored in presets.cornell_homogeneous)
         keepMedium = std::make_shared<HomogeneousMedium>(
-            Spectrum(0.25f), Spectrum(0.45f), 0.3f);
+            Spectrum(0.25f * pscale), Spectrum(0.45f * pscale), 0.3f);
         addBox(prims, {-1.0f, -2.4f, -1.0f}, {1.0f, -0.4f, 1.0f}, nullptr,
                MediumInterface(keepMedium.get(), nullptr));
     } else if (sceneName == "gridvol") {
