@@ -146,7 +146,21 @@ def make_config(scene, width, height, spp, **kw):
     """Derive the static kind sets from a built scene (host-side)."""
     import numpy as np
 
-    mat_kinds = tuple(sorted(set(np.asarray(scene.materials.kind).tolist())))
+    # mat_kinds from materials actually REFERENCED by geometry, not every
+    # table row: the reference app registers a Mirror material the default
+    # scene never assigns (ui/RenderThread.cpp:78-103), and dispatching on
+    # table kinds made whitted treat the all-matte Cornell as specular
+    # (5 full depths instead of 1) and compiled dead lobes everywhere.
+    kinds_tab = np.asarray(scene.materials.kind)
+    used = np.concatenate([np.asarray(scene.geom.tri_mat),
+                           np.asarray(scene.geom.sph_mat)])
+    if scene.instanced is not None:
+        used = np.concatenate([used, np.asarray(scene.instanced.tri_mat)])
+    used = used[used >= 0]
+    if used.size:
+        mat_kinds = tuple(sorted(set(kinds_tab[used].tolist())))
+    else:
+        mat_kinds = tuple(sorted(set(kinds_tab.tolist())))
     light_kinds = tuple(sorted(set(np.asarray(scene.lights.kind).tolist())))
     # blocked dense brute force beats (and is far safer than) the lockstep
     # BVH walk on TPU below ~32k triangles: bounded kernel runtime, no

@@ -186,6 +186,14 @@ class WideTreeletPack(NamedTuple):
     worder: jnp.ndarray   # (K, 8, NWmax) i32
     leafs: jnp.ndarray    # (K, Lmax, LEAF_SIZE*9) f32
     tid: jnp.ndarray      # (K, Lmax, LEAF_SIZE) i32
+    # Quantized node records (kernel v3): word k in 0..5 packs the four
+    # slots' uint8-quantized component k ([lox loy loz hix hiy hiz],
+    # byte s = slot s) against the treelet frame; words 6/7 pack the four
+    # slot targets as int16 pairs.  9 scalar loads/node (vs 29 unpacked);
+    # quantization rounds lo down / hi up, so boxes only ever GROW —
+    # traversal may visit a few extra nodes, hits are identical.
+    qbounds: jnp.ndarray = None  # (K, NWmax, 8) i32
+    qframe: jnp.ndarray = None   # (K, 1, 8) f32: [lo.xyz, scale.xyz, 0, 0]
 
 
 def treelet_slices(off, npr, cap):
@@ -247,6 +255,8 @@ def build_wide_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa,
     tid = np.full((k_t, l_max, LEAF_SIZE), -1, np.int32)
     prim_idx = np.asarray(prim_idx)
     leaf_soa = np.asarray(leaf_soa)
+    qb = np.zeros((k_t, nw_max, 8), np.int32)
+    qf = np.zeros((k_t, 1, 8), np.float32)
     for kk, ((_r, _e, rl, rh), w) in enumerate(zip(slices, wides)):
         m = w.wbounds.shape[0]
         wb[kk, :m] = w.wbounds
@@ -255,8 +265,53 @@ def build_wide_treelets(off, npr, axis, lo, hi, prim_idx, leaf_soa,
         nl = (rh - rl) // LEAF_SIZE
         leafs[kk, :nl] = leaf_soa[rl:rh].reshape(nl, LEAF_SIZE * 9)
         tid[kk, :nl] = prim_idx[rl:rh].reshape(nl, LEAF_SIZE)
+        qbk, qfk = _quantize_wide(w)
+        qb[kk, :qbk.shape[0]] = qbk
+        qf[kk] = qfk
     return WideTreeletPack(jnp.asarray(wb), jnp.asarray(wt), jnp.asarray(wo),
-                           jnp.asarray(leafs), jnp.asarray(tid))
+                           jnp.asarray(leafs), jnp.asarray(tid),
+                           jnp.asarray(qb), jnp.asarray(qf))
+
+
+def _quantize_wide(w: WideBVH, nw_pad=None):
+    """uint8-quantize a treelet's slot bounds against its own frame and
+    pack them + int16 targets into (NW, 8) i32 records (see
+    WideTreeletPack.qbounds)."""
+    wb, wt = w.wbounds, w.wtarg
+    nw = wb.shape[0] if nw_pad is None else nw_pad
+    valid = wb[:, 0:4] < BIG / 2  # (nw0, 4) real slots
+    lo_cols = wb[:, 0:12].reshape(-1, 3, 4)
+    hi_cols = wb[:, 12:24].reshape(-1, 3, 4)
+    f_lo = np.array([lo_cols[:, k][valid].min() if valid.any() else 0.0
+                     for k in range(3)], np.float32)
+    f_hi = np.array([hi_cols[:, k][valid].max() if valid.any() else 1.0
+                     for k in range(3)], np.float32)
+    scale = np.maximum((f_hi - f_lo) / 255.0, 1e-12).astype(np.float32)
+    qb = np.zeros((nw, 8), np.int32)
+    for k in range(3):  # lo components: round DOWN
+        b = np.where(valid, wb[:, 4 * k:4 * k + 4], f_lo[k])
+        q = np.floor((b - f_lo[k]) / scale[k])
+        q = np.clip(np.where(valid, q, 255), 0, 255).astype(np.int64)
+        qb[:q.shape[0], k] = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                              | (q[:, 3] << 24)).astype(np.int64).astype(
+                                  np.uint32).view(np.int32)
+    for k in range(3):  # hi components: round UP
+        b = np.where(valid, wb[:, 12 + 4 * k:16 + 4 * k], f_lo[k])
+        q = np.ceil((b - f_lo[k]) / scale[k])
+        q = np.clip(np.where(valid, q, 0), 0, 255).astype(np.int64)
+        qb[:q.shape[0], 3 + k] = (q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+                                  | (q[:, 3] << 24)).astype(np.int64).astype(
+                                      np.uint32).view(np.int32)
+    assert np.abs(wt).max(initial=0) < 32767, "targets overflow int16 pack"
+    t16 = wt.astype(np.int64) & 0xFFFF
+    qb[:wt.shape[0], 6] = (t16[:, 0] | (t16[:, 1] << 16)).astype(
+        np.uint32).view(np.int32)
+    qb[:wt.shape[0], 7] = (t16[:, 2] | (t16[:, 3] << 16)).astype(
+        np.uint32).view(np.int32)
+    qf = np.zeros((1, 8), np.float32)
+    qf[0, 0:3] = f_lo
+    qf[0, 3:6] = scale
+    return qb, qf
 
 
 # ---------------------------------------------------------------------------
@@ -273,14 +328,18 @@ def _slot_want(wb_ref, nid, s, o, inv, t_best):
     Bounds are direct scalar VMEM loads (never vector-register extracts).
     Same test as ops/pallas_bvh._slab_want incl. the live-lane t_best>0
     term (dead lanes carry t_max = 0)."""
-    o_x, o_y, o_z = o
-    inv_x, inv_y, inv_z = inv
     lox = wb_ref[nid, 0 + s]
     loy = wb_ref[nid, 4 + s]
     loz = wb_ref[nid, 8 + s]
     hix = wb_ref[nid, 12 + s]
     hiy = wb_ref[nid, 16 + s]
     hiz = wb_ref[nid, 20 + s]
+    return _slab6(lox, loy, loz, hix, hiy, hiz, o, inv, t_best)
+
+
+def _slab6(lox, loy, loz, hix, hiy, hiz, o, inv, t_best):
+    o_x, o_y, o_z = o
+    inv_x, inv_y, inv_z = inv
     tx0 = (lox - o_x) * inv_x
     tx1 = (hix - o_x) * inv_x
     ty0 = (loy - o_y) * inv_y
@@ -296,7 +355,8 @@ def _slot_want(wb_ref, nid, s, o, inv, t_best):
     return (tn <= tf) & (tf > 0) & (tn < t_best) & (t_best > 0)
 
 
-def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB):
+def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB,
+                      quant=False):
     """Wide packet kernel factory; nw = node count (worder row stride).
 
     Round structure (v2): best-hit state lives in VMEM scratch refs so the
@@ -314,8 +374,13 @@ def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB):
                ox, oy, oz, dx, dy, dz, tmax_ref,
                out0, out1, out2, out3, stack_ref, lstack_ref,
                t_ref, tri_ref, u_ref, v_ref, occ_ref):
-        # wo_ref is the flattened (8*NW, 1) per-octant order table
+        # wo_ref is the flattened (8*NW, 1) per-octant order table.
+        # quant: wb_ref is the packed (NW, 8) i32 record table and wt_ref
+        # the (1, 8) f32 frame (see WideTreeletPack.qbounds).
         pid = pl.program_id(0)
+        if quant:
+            qf_lo = [wt_ref[0, k] for k in range(3)]
+            qf_sc = [wt_ref[0, 3 + k] for k in range(3)]
         o = (ox[:, :], oy[:, :], oz[:, :])
         d_x, d_y, d_z = dx[:, :], dy[:, :], dz[:, :]
         inv = (_safe_inv(d_x), _safe_inv(d_y), _safe_inv(d_z))
@@ -392,9 +457,22 @@ def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB):
 
             live_t = live_t_now()
             cols = []
+            ntg = {}
             for p, (nid, _ok) in enumerate(pops):
+                if quant:
+                    qw = [wb_ref[nid, k] for k in range(6)]
+                    t01 = wb_ref[nid, 6]
+                    t23 = wb_ref[nid, 7]
+                    ntg[p] = [(t01 << 16) >> 16, t01 >> 16,
+                              (t23 << 16) >> 16, t23 >> 16]
                 for sl in range(4):
-                    w = _slot_want(wb_ref, nid, sl, o, inv, live_t)
+                    if quant:
+                        b6 = [qf_lo[k % 3] + ((qw[k] >> (8 * sl)) & 255)
+                              .astype(jnp.float32) * qf_sc[k % 3]
+                              for k in range(6)]
+                        w = _slab6(*b6, o, inv, live_t)
+                    else:
+                        w = _slot_want(wb_ref, nid, sl, o, inv, live_t)
                     cols.append(jnp.any(w, axis=1, keepdims=True)
                                 .astype(jnp.float32))
             # extra column: any live lane at all (occlusion early-out)
@@ -416,7 +494,7 @@ def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB):
                 cnt = (order >> 8) & 15
                 # static-minor scalar loads (Mosaic cannot index the minor
                 # dim dynamically); traced slot s selects among them
-                tg = [wt_ref[nid, k] for k in range(4)]
+                tg = ntg[p] if quant else [wt_ref[nid, k] for k in range(4)]
                 bits_p = gbits[(4 * p) // GW] >> ((4 * p) % GW)
                 for j in range(3, -1, -1):  # far to near
                     sl = (order >> (2 * j)) & 3
@@ -506,10 +584,12 @@ def _pad_rays(o, d, t_max, n, n_pad, nb, sub):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "wp", "wlq", "sub"))
+                   static_argnames=("interpret", "wp", "wlq", "sub",
+                                    "quant"))
 def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
-                     wp=WP, wlq=WLQ, sub=SUB):
-    """Closest hit for N rays via the wide packet kernel.
+                     wp=WP, wlq=WLQ, sub=SUB, quant=False):
+    """Closest hit for N rays via the wide packet kernel.  With quant,
+    wb/wt are the packed (NW,8) i32 records / (1,8) f32 frame.
     Returns (t, tri, u, v): tri == -1 where no hit."""
     n = o.shape[0]
     blk = sub * LANE
@@ -526,7 +606,7 @@ def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
     oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     t, tri, u, v = pl.pallas_call(
-        _make_wide_kernel(nw, wp=wp, wlq=wlq, sub=sub),
+        _make_wide_kernel(nw, wp=wp, wlq=wlq, sub=sub, quant=quant),
         grid=(nb,),
         in_specs=[table_spec] * 5 + [oct_spec] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
@@ -551,9 +631,10 @@ def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "wp", "wlq", "sub"))
+                   static_argnames=("interpret", "wp", "wlq", "sub",
+                                    "quant"))
 def wide_any_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
-                 wp=WP, wlq=WLQ, sub=SUB):
+                 wp=WP, wlq=WLQ, sub=SUB, quant=False):
     """Occlusion for N rays via the wide packet kernel; returns bool (N,)."""
     n = o.shape[0]
     blk = sub * LANE
@@ -570,7 +651,8 @@ def wide_any_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
     oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     occ = pl.pallas_call(
-        _make_wide_kernel(nw, occlusion=True, wp=wp, wlq=wlq, sub=sub),
+        _make_wide_kernel(nw, occlusion=True, wp=wp, wlq=wlq, sub=sub,
+                          quant=quant),
         grid=(nb,),
         in_specs=[table_spec] * 5 + [oct_spec] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
@@ -597,14 +679,24 @@ def wide_any_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
 # Treelet chaining (lax.scan — one kernel instance per cast site)
 # ---------------------------------------------------------------------------
 
+def _tl_tables(tl: WideTreeletPack, quant):
+    if quant and tl.qbounds is not None:
+        return tl.qbounds, tl.qframe
+    return tl.wbounds, tl.wtarg
+
+
 def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
-                         interpret=True, wp=WP, wlq=WLQ, sub=SUB):
+                         interpret=True, wp=WP, wlq=WLQ, sub=SUB,
+                         quant=False):
     n = o.shape[0]
+    quant = quant and tl.qbounds is not None
+    wbs, wts = _tl_tables(tl, quant)
     t0 = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if tl.wbounds.shape[0] == 1:
-        return wide_closest_hit(tl.wbounds[0], tl.wtarg[0], tl.worder[0],
+        return wide_closest_hit(wbs[0], wts[0], tl.worder[0],
                                 tl.leafs[0], tl.tid[0], o, d, t0,
-                                interpret=interpret, wp=wp, wlq=wlq, sub=sub)
+                                interpret=interpret, wp=wp, wlq=wlq, sub=sub,
+                                quant=quant)
     init = (t0, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
 
@@ -613,35 +705,38 @@ def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
         wb, wt, wo, leafs, tid = tables
         tk, trik, uk, vk = wide_closest_hit(wb, wt, wo, leafs, tid,
                                             o, d, t, interpret=interpret,
-                                            wp=wp, wlq=wlq, sub=sub)
+                                            wp=wp, wlq=wlq, sub=sub,
+                                            quant=quant)
         imp = trik >= 0
         return (jnp.where(imp, tk, t), jnp.where(imp, trik, tri),
                 jnp.where(imp, uk, u), jnp.where(imp, vk, v)), None
 
     (t, tri, u, v), _ = jax.lax.scan(
-        step, init, (tl.wbounds, tl.wtarg, tl.worder, tl.leafs, tl.tid))
+        step, init, (wbs, wts, tl.worder, tl.leafs, tl.tid))
     return t, tri, u, v
 
 
 def wtreelet_any_hit(tl: WideTreeletPack, o, d, t_max, *, interpret=True,
-                     wp=WP, wlq=WLQ, sub=SUB):
+                     wp=WP, wlq=WLQ, sub=SUB, quant=False):
     n = o.shape[0]
+    quant = quant and tl.qbounds is not None
+    wbs, wts = _tl_tables(tl, quant)
     t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32)
     if tl.wbounds.shape[0] == 1:
-        return wide_any_hit(tl.wbounds[0], tl.wtarg[0], tl.worder[0],
+        return wide_any_hit(wbs[0], wts[0], tl.worder[0],
                             tl.leafs[0], tl.tid[0], o, d, t,
-                            interpret=interpret, wp=wp, wlq=wlq, sub=sub)
+                            interpret=interpret, wp=wp, wlq=wlq, sub=sub,
+                            quant=quant)
 
     def step(occ, tables):
         wb, wt, wo, leafs, tid = tables
         occ_k = wide_any_hit(wb, wt, wo, leafs, tid, o, d,
                              jnp.where(occ, 0.0, t), interpret=interpret,
-                             wp=wp, wlq=wlq, sub=sub)
+                             wp=wp, wlq=wlq, sub=sub, quant=quant)
         return occ | occ_k, None
 
     occ, _ = jax.lax.scan(step, jnp.zeros((n,), bool),
-                          (tl.wbounds, tl.wtarg, tl.worder, tl.leafs,
-                           tl.tid))
+                          (wbs, wts, tl.worder, tl.leafs, tl.tid))
     return occ
 
 
@@ -662,6 +757,11 @@ def _env_wlq():
 def _env_sub():
     import os
     return int(os.environ.get("GNX_WBVH_SUB", SUB))
+
+
+def _env_quant():
+    import os
+    return os.environ.get("GNX_WBVH_Q", "1") != "0"
 
 
 def wide_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
@@ -688,7 +788,7 @@ def wide_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
     t, tri, u, v = wtreelet_closest_hit(bvh.wtreelets, o, d, t_max,
                                         interpret=interpret,
                                         wp=_env_wp(), wlq=_env_wlq(),
-                                        sub=_env_sub())
+                                        sub=_env_sub(), quant=_env_quant())
     if sort:
         outp = jnp.stack([t, tri.astype(jnp.float32), u, v], axis=1)[inv]
         t, u, v = outp[:, 0], outp[:, 2], outp[:, 3]
@@ -713,7 +813,8 @@ def wide_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
         packed = jnp.concatenate([o, d, t_max[:, None]], axis=1)[perm]
         o, d, t_max = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
     occ = wtreelet_any_hit(bvh.wtreelets, o, d, t_max, interpret=interpret,
-                           wp=_env_wp(), wlq=_env_wlq(), sub=_env_sub())
+                           wp=_env_wp(), wlq=_env_wlq(), sub=_env_sub(),
+                           quant=_env_quant())
     if sort:
         occ = occ[inv]
     return occ

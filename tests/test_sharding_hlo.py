@@ -41,19 +41,19 @@ def test_sharded_forward_has_no_collectives():
     """Pixel-sharded render: zero cross-device communication by
     construction (SURVEY.md §2.11 — tiles are independent; the film
     reduction is over samples, which are colocated with their pixel)."""
-    w = h = 32
+    w = h = 16
     mesh = sh.make_mesh(8)
     scene, cam = presets.cornell_box(w, h, sigma=0.0, skybox=False)
-    cfg = P.make_config(scene, w, h, spp=4, max_depth=2, spp_chunk=2,
+    cfg = P.make_config(scene, w, h, spp=2, max_depth=1, spp_chunk=1,
                         fast_mis=True)
-    smp = samplers.make_sobol_sampler(4)
+    smp = samplers.make_sobol_sampler(2)
     pixel = jax.device_put(jnp.arange(w * h, dtype=jnp.int32),
                            sh._sharded(mesh))
     scene_r = jax.device_put(scene, sh._replicated(mesh))
     cam_r = jax.device_put(cam, sh._replicated(mesh))
     smp_r = jax.device_put(smp, sh._replicated(mesh))
     hlo = _compiled_hlo(sh._run_sharded, scene_r, cam_r, smp_r, pixel, cfg,
-                        0, 2)
+                        0, 1)
     hits = COLLECTIVES.findall(hlo)
     assert not hits, f"unexpected collectives in sharded forward: {hits[:8]}"
 
@@ -66,7 +66,7 @@ def test_sharded_train_step_all_reduces_gradients_only():
     w = h = 16
     mesh = sh.make_mesh(8)
     scene, cam = presets.cornell_box(w, h, sigma=0.0, skybox=False)
-    cfg = P.make_config(scene, w, h, spp=2, max_depth=2, spp_chunk=1)
+    cfg = P.make_config(scene, w, h, spp=2, max_depth=1, spp_chunk=1)
     smp = samplers.make_sobol_sampler(2)
     params = sh.extract_params(scene)
     target = jnp.zeros((h, w, 3), jnp.float32)
