@@ -203,7 +203,7 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
     cfg = path.make_config(scene, width, height, spp=spp,
                            max_depth=max_depth, spp_chunk=spp_chunk,
                            rr_threshold=1.0, fast_mis=True, compact_tail=True,
-                           compact_from=1, compact_frac=4,
+                           compact_stages=((1, 4), (2, 8), (4, 32)),
                            count_rays=True)
     sampler = samplers.make_sobol_sampler(spp)
     img, _ = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)

@@ -54,6 +54,9 @@ class RenderCfg(NamedTuple):
     light_kind_seq: tuple = ()
     n_tris: int = 0
     n_sphs: int = 0
+    # big-prim separation (scene.big_tri_idx): count of huge triangles
+    # brute-forced outside the BVH; their hit t caps the packet walk
+    n_big: int = 0
     n_lights: int = 0
     use_bvh: bool = False
     bvh_stackless: bool = True  # threaded miss-link walk (cursor-only state)
@@ -80,6 +83,12 @@ class RenderCfg(NamedTuple):
     compact_tail: bool = False
     compact_from: int = 5     # first compacted bounce (> 4 so RR has run)
     compact_frac: int = 8     # tail buffer width = n // compact_frac
+    # multi-stage compaction: ((bounce, frac), ...) — re-compact as the
+    # wavefront keeps dying (the r4 mesh chunk spent ~0.45 s/chunk running
+    # bounces 4-8 at a width whose lanes were ~95% dead).  Overrides
+    # compact_from/compact_frac when non-empty; each stage is the same
+    # unbiased pre-thinning RR.
+    compact_stages: tuple = ()
     has_bump: bool = False    # any material carries a bump texture
     pixel_filter: str = "box"  # box | gaussian (filter importance sampling)
     filter_radius: float = 2.0
@@ -194,6 +203,8 @@ def make_config(scene, width, height, spp, **kw):
         light_kind_seq=tuple(np.asarray(scene.lights.kind).tolist()),
         n_tris=int(scene.geom.triangles.shape[0]),
         n_sphs=int(scene.geom.sph_center.shape[0]),
+        n_big=(0 if scene.big_tri_idx is None
+               else int(scene.big_tri_idx.shape[0])),
         n_lights=int(scene.lights.kind.shape[0]),
         has_media=scene.media is not None,
         has_textures=scene.textures is not None,
@@ -669,10 +680,21 @@ def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
     = useful scene casts: lanes actually tracing, not dispatch width)."""
     n = o.shape[0]
     n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
-    do_compact = (cfg.compact_tail and cfg.compact_from <= cfg.max_depth
-                  and n % cfg.compact_frac == 0
-                  and n // cfg.compact_frac >= 256)
-    n_dims_tot = n_dims + (1 if do_compact else 0)
+    stages = (tuple(cfg.compact_stages) if cfg.compact_stages
+              else ((cfg.compact_from, cfg.compact_frac),))
+    stages = tuple((b, f) for b, f in stages
+                   if b <= cfg.max_depth and n % f == 0 and n // f >= 256)
+    # widths must strictly shrink stage to stage
+    widths, last = [], n
+    keep = []
+    for b, f in stages:
+        m = n // f
+        if m < last:
+            keep.append((b, f))
+            last = m
+    stages = tuple(keep)
+    do_compact = cfg.compact_tail and bool(stages)
+    n_dims_tot = n_dims + (len(stages) if do_compact else 0)
     inloop = samplers.supports_inloop_dims(sampler)
     if inloop:
         # dims computed inside the bounce loop: no (N, D) sample matrix in
@@ -723,59 +745,71 @@ def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
             return state["L"], state["nrays"]
         return state["L"]
 
-    b1 = cfg.compact_from
-    state = jax.lax.fori_loop(b_start, b1, bounce, state)
+    # --- multi-stage compaction: run to each stage bounce, pre-thin (RR,
+    # unbiased) survivors into an n//frac buffer, continue; scatter the
+    # partial radiances back through the composed source maps at the end.
+    cur_pixel, cur_sample, cur_U = pixel, sample, U
+    b_prev = b_start
+    outer = []  # (L_at_this_width, src, valid) per stage
+    for si, (cb, frac) in enumerate(stages):
+        state = jax.lax.fori_loop(b_prev, cb, bounce, state)
+        b_prev = cb
+        n_cur = state["o"].shape[0]
+        m = n // frac
+        alive = state["alive"]
+        alive_count = jnp.sum(alive.astype(jnp.int32))
+        # pre-thinning RR: survival p = min(1, 0.75*M/alive).  Unbiased
+        # (beta/p); keeps E[kept] <= 0.75*M so P(kept > M) is
+        # Chernoff-negligible; p == 1 (bit-identical no-op) when
+        # alive <= 0.75*M — the common case.
+        p_keep = jnp.minimum(
+            1.0, 0.75 * m / jnp.maximum(alive_count.astype(jnp.float32), 1.0))
+        if inloop:
+            u_thin = samplers.sample_bounce_dims(
+                sampler, cur_pixel, cur_sample, jnp.int32(n_dims + si), 1,
+                n_dims_tot)[:, 0]
+        else:
+            u_thin = cur_U[:, n_dims + si]
+        kept = alive & (u_thin < p_keep)
+        beta = state["beta"] / p_keep
+        slots = jnp.cumsum(kept.astype(jnp.int32)) - 1
+        lane_id = jnp.arange(n_cur, dtype=jnp.int32)
+        src = jnp.zeros((m,), jnp.int32).at[
+            jnp.where(kept, slots, m)].set(lane_id, mode="drop")
+        kept_count = jnp.sum(kept.astype(jnp.int32))
+        valid = jnp.arange(m, dtype=jnp.int32) < kept_count
+        outer.append((state["L"], src, valid))
+        nrays_carry = state.get("nrays")
+        state = dict(
+            o=state["o"][src], d=state["d"][src],
+            beta=beta[src],
+            L=jnp.zeros((m, 3), jnp.float32),
+            alive=valid,
+            specular=state["specular"][src],
+            eta_scale=state["eta_scale"][src],
+            prev_pdf=state["prev_pdf"][src],
+            prev_p=state["prev_p"][src],
+        )
+        if cfg.count_rays:
+            state["nrays"] = nrays_carry  # scalar: carries across widths
+        cur_pixel, cur_sample = cur_pixel[src], cur_sample[src]
+        if inloop:
+            get_ub = make_get_ub(cur_pixel, cur_sample)
+        else:
+            cur_U = cur_U[src]
 
-    # --- compact survivors into an m-wide tail buffer -----------------------
-    m = n // cfg.compact_frac
-    alive = state["alive"]
-    alive_count = jnp.sum(alive.astype(jnp.int32))
-    # pre-thinning RR: survival p = min(1, 0.75*M/alive).  Unbiased (beta/p);
-    # keeps E[kept] <= 0.75*M so P(kept > M) is Chernoff-negligible, and
-    # p == 1 (no-op, bit-identical to uncompacted) when alive <= 0.75*M.
-    p_keep = jnp.minimum(
-        1.0, 0.75 * m / jnp.maximum(alive_count.astype(jnp.float32), 1.0))
-    if inloop:
-        u_thin = samplers.sample_bounce_dims(
-            sampler, pixel, sample, jnp.int32(n_dims), 1, n_dims_tot)[:, 0]
-    else:
-        u_thin = U[:, n_dims]
-    kept = alive & (u_thin < p_keep)
-    beta = state["beta"] / p_keep
-    slots = jnp.cumsum(kept.astype(jnp.int32)) - 1  # rank among kept lanes
-    lane_id = jnp.arange(n, dtype=jnp.int32)
-    src = jnp.zeros((m,), jnp.int32).at[
-        jnp.where(kept, slots, m)].set(lane_id, mode="drop")
-    kept_count = jnp.sum(kept.astype(jnp.int32))
-    valid = jnp.arange(m, dtype=jnp.int32) < kept_count
-    state2 = dict(
-        o=state["o"][src], d=state["d"][src],
-        beta=beta[src],
-        L=jnp.zeros((m, 3), jnp.float32),
-        alive=valid,
-        specular=state["specular"][src],
-        eta_scale=state["eta_scale"][src],
-        prev_pdf=state["prev_pdf"][src],
-        prev_p=state["prev_p"][src],
-    )
+            def get_ub(b, _U=cur_U, _m=m):
+                return jax.lax.dynamic_slice(
+                    _U, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
+                    (_m, DIMS_PER_BOUNCE))
+
+        bounce = make_bounce(scene, cfg, get_ub, m)
+    state = jax.lax.fori_loop(b_prev, cfg.max_depth + 1, bounce, state)
+    L = state["L"]
+    for L_outer, src, valid in reversed(outer):
+        L = L_outer.at[src].add(jnp.where(valid[..., None], L, 0.0))
     if cfg.count_rays:
-        state2["nrays"] = jnp.zeros((), jnp.float32)
-    if inloop:
-        get_ub2 = make_get_ub(pixel[src], sample[src])
-    else:
-        U2 = U[src]
-
-        def get_ub2(b):
-            return jax.lax.dynamic_slice(
-                U2, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
-                (m, DIMS_PER_BOUNCE))
-
-    bounce2 = make_bounce(scene, cfg, get_ub2, m)
-    state2 = jax.lax.fori_loop(b1, cfg.max_depth + 1, bounce2, state2)
-    L = state["L"].at[src].add(
-        jnp.where(valid[..., None], state2["L"], 0.0))
-    if cfg.count_rays:
-        return L, state["nrays"] + state2["nrays"]
+        return L, state["nrays"]
     return L
 
 

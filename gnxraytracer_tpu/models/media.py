@@ -135,7 +135,15 @@ def sample_medium(media, medium_id, o, d, t_surf, lane_key, bounce, seed):
     u_t = rng.uniform_float(lane_key, bounce, 9002, seed)
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
     sig_c = jnp.take_along_axis(sigma_t, channel[:, None], axis=-1)[:, 0]
-    dist = -jnp.log(jnp.maximum(1.0 - u_t, 1e-10)) / jnp.maximum(sig_c, 1e-10)
+    # DETACHED sampling decision (the estimator's core rule, SURVEY §7):
+    # the sampled distance is a function of sigma, and radiance is
+    # discontinuous in t (occlusion boundaries), so an attached t makes
+    # the pathwise d/d(sigma) biased — measured 23% low vs the oracle's
+    # FD on the volpath scene.  Detach t; Tr and the spectral-MIS pdf
+    # below stay attached at the FIXED t (their ratio carries the exact
+    # score-free gradient).
+    dist = jax.lax.stop_gradient(
+        -jnp.log(jnp.maximum(1.0 - u_t, 1e-10)) / jnp.maximum(sig_c, 1e-10))
     t_h = jnp.minimum(dist, t_surf)
     sampled_h = dist < t_surf
     tr_h = jnp.exp(-sigma_t * jnp.minimum(t_h, 1e7)[:, None])

@@ -167,9 +167,15 @@ def _align_leaves(off, npr, order, leaf_size=LEAF_SIZE):
     return new_off.astype(np.int32), new_order.astype(np.int32)
 
 
-def _finish_build(arrs, vertices, triangles):
+def _finish_build(arrs, vertices, triangles, orig_ids=None):
     lo, hi, off, npr, ax, order = (np.asarray(a) for a in arrs)
     off, order = _align_leaves(off, npr, order)
+    if orig_ids is not None:
+        # subset build (big-prim separation): remap prim ids to GLOBAL
+        # triangle ids before any table packs them
+        orig_ids = np.asarray(orig_ids, np.int64)
+        order = np.where(order >= 0, orig_ids[np.maximum(order, 0)],
+                         -1).astype(np.int32)
     miss = _compute_miss_links(off, npr)
     soa = _pack_leaf_soa(vertices, triangles, order)
     first8, miss8 = _compute_octant_links(off, npr, ax)
@@ -189,19 +195,30 @@ def _finish_build(arrs, vertices, triangles):
                wtreelets)
 
 
-def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE):
-    """SAH BVH over triangles; returns BVH arrays (device)."""
+def build_bvh(vertices, triangles, leaf_size=LEAF_SIZE, subset=None):
+    """SAH BVH over triangles; returns BVH arrays (device).
+
+    subset: optional index array — build the tree over triangles[subset]
+    only, with prim ids remapped back to GLOBAL triangle ids (big-prim
+    separation: a few huge triangles, e.g. a ground plane, inflate every
+    packet block's node-set union; the caller brute-forces them instead
+    and their hit t tightens the walk's t_max)."""
+    triangles = np.asarray(triangles, np.int32)
+    orig_ids = None
+    if subset is not None:
+        orig_ids = np.asarray(subset, np.int64)
+        triangles = triangles[orig_ids]
     try:
         from ..native import bvh_native
 
         built = bvh_native.build(np.asarray(vertices, np.float32),
                                  np.asarray(triangles, np.int32), leaf_size)
         if built is not None:
-            return _finish_build(built, vertices, triangles)
+            return _finish_build(built, vertices, triangles, orig_ids)
     except Exception:
         pass
     return _finish_build(build_bvh_numpy(vertices, triangles, leaf_size),
-                         vertices, triangles)
+                         vertices, triangles, orig_ids)
 
 
 def build_bvh_numpy(vertices, triangles, leaf_size=LEAF_SIZE):

@@ -56,12 +56,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import INFINITY
 from .pallas_bvh import LEAF_SIZE, _leaf_tests, _shear_frame
 
-SUB = 8
+SUB = 16        # sublanes per ray block (2048 rays: fixed per-round cost
+                # amortizes over more rays; swept on chip, PERF.md r4)
 LANE = 128
 BLOCK = SUB * LANE
 
-WP = 4          # wide-node pops per round (WP*4 slot tests batched)
-WLQ = 4         # leaf rows tested per round
+WP = 8          # wide-node pops per round (WP*4 slot tests batched)
+WLQ = 8         # leaf rows tested per round
+ILEAF = False   # inline leaf tests at the parent (pl.when) vs leaf queue
 STACK = 1024    # SMEM node-stack entries (4 KB)
 LSTACK = 1024   # SMEM leaf-queue entries (4 KB)
 # LIFO multi-pop keeps the frontier near-DFS, but a pathological block can
@@ -356,7 +358,7 @@ def _slab6(lox, loy, loz, hix, hiy, hiz, o, inv, t_best):
 
 
 def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB,
-                      quant=False):
+                      quant=False, debug=False, ileaf=ILEAF):
     """Wide packet kernel factory; nw = node count (worder row stride).
 
     Round structure (v2): best-hit state lives in VMEM scratch refs so the
@@ -514,12 +516,49 @@ def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB,
                     def _(tgt=tgt, cur_sp=cur_sp):
                         stack_ref[cur_sp] = tgt
 
-                    @pl.when(push_l)
-                    def _(tgt=tgt, cur_lsp=cur_lsp):
-                        lstack_ref[cur_lsp] = -tgt - 1
+                    if ileaf:
+                        # inline leaf test at the parent: no queue, no
+                        # leaf rounds — the branch only executes when the
+                        # leaf is actually wanted
+                        @pl.when(push_l)
+                        def _(tgt=tgt):
+                            li = jnp.maximum(-tgt - 1, 0)
+                            lr = leafs_ref[li, :]
+                            tr = tid_ref[li, :]
+                            if occlusion:
+                                lt = jnp.where(occ_ref[:, :] == 0, tm0, 0.0)
+                                occ2 = occ_ref[:, :]
+                                for tid_s, t, _u, _v, geo in _leaf_tests(
+                                        lr, tr, o[0], o[1], o[2], frame,
+                                        lt):
+                                    occ2 = jnp.where(geo & (t < lt), 1,
+                                                     occ2)
+                                occ_ref[:, :] = occ2
+                            else:
+                                tb = t_ref[:, :]
+                                trb = tri_ref[:, :]
+                                ub2 = u_ref[:, :]
+                                vb2 = v_ref[:, :]
+                                for tid_s, t, uu, vv, geo in _leaf_tests(
+                                        lr, tr, o[0], o[1], o[2], frame,
+                                        tb):
+                                    ok2 = geo & (t < tb)
+                                    tb = jnp.where(ok2, t, tb)
+                                    trb = jnp.where(ok2, tid_s, trb)
+                                    ub2 = jnp.where(ok2, uu, ub2)
+                                    vb2 = jnp.where(ok2, vv, vb2)
+                                t_ref[:, :] = tb
+                                tri_ref[:, :] = trb
+                                u_ref[:, :] = ub2
+                                v_ref[:, :] = vb2
+                    else:
+                        @pl.when(push_l)
+                        def _(tgt=tgt, cur_lsp=cur_lsp):
+                            lstack_ref[cur_lsp] = -tgt - 1
+
+                        lsp = lsp + push_l.astype(jnp.int32)
 
                     sp = sp + push_n.astype(jnp.int32)
-                    lsp = lsp + push_l.astype(jnp.int32)
 
             if occlusion:
                 # whole-block early-out: every lane occluded/dead
@@ -528,21 +567,35 @@ def _make_wide_kernel(nw, occlusion=False, wp=WP, wlq=WLQ, sub=SUB,
             return sp, lsp
 
         def round_body(c):
-            sp, lsp, step = c
+            sp, lsp, step, nlr, nnr = c
+            nlr = nlr + (lsp > 0).astype(jnp.int32)
             lsp = jax.lax.cond(lsp > 0, leaf_phase, lambda x: x, lsp)
             # leaf-drain throttle: above L_HIGH_WATER only leaves run, so
             # the queue cannot overflow (a node round adds <= wp*4)
-            sp, lsp = jax.lax.cond((sp > 0) & (lsp <= L_HIGH_WATER),
-                                   node_phase, lambda a: a, (sp, lsp))
-            return sp, lsp, step + 1
+            do_node = (sp > 0) & (lsp <= L_HIGH_WATER)
+            nnr = nnr + do_node.astype(jnp.int32)
+            sp, lsp = jax.lax.cond(do_node, node_phase, lambda a: a,
+                                   (sp, lsp))
+            return sp, lsp, step + 1, nlr, nnr
 
         def cond(c):
-            sp, lsp, step = c
-            return ((sp > 0) | (lsp > 0)) & (step < MAX_ROUNDS)
+            sp, lsp = c[0], c[1]
+            return ((sp > 0) | (lsp > 0)) & (c[2] < MAX_ROUNDS)
 
         stack_ref[0] = 0
-        jax.lax.while_loop(cond, round_body,
-                           (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+        _sp, _lsp, steps, nlr, nnr = jax.lax.while_loop(
+            cond, round_body,
+            (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)))
+        if debug:
+            # diagnostic outputs: u <- total rounds, v <- node rounds,
+            # t <- leaf rounds (per block, broadcast)
+            u_ref[:, :] = jnp.full((sub, LANE), steps, jnp.int32)\
+                .astype(jnp.float32)
+            v_ref[:, :] = jnp.full((sub, LANE), nnr, jnp.int32)\
+                .astype(jnp.float32)
+            t_ref[:, :] = jnp.full((sub, LANE), nlr, jnp.int32)\
+                .astype(jnp.float32)
         if occlusion:
             out0[:, :] = occ_ref[:, :]
             out1[:, :] = t_ref[:, :]
@@ -585,9 +638,10 @@ def _pad_rays(o, d, t_max, n, n_pad, nb, sub):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "wp", "wlq", "sub",
-                                    "quant"))
+                                    "quant", "debug", "ileaf"))
 def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
-                     wp=WP, wlq=WLQ, sub=SUB, quant=False):
+                     wp=WP, wlq=WLQ, sub=SUB, quant=False, debug=False,
+                     ileaf=ILEAF):
     """Closest hit for N rays via the wide packet kernel.  With quant,
     wb/wt are the packed (NW,8) i32 records / (1,8) f32 frame.
     Returns (t, tri, u, v): tri == -1 where no hit."""
@@ -606,7 +660,8 @@ def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
     oct_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     t, tri, u, v = pl.pallas_call(
-        _make_wide_kernel(nw, wp=wp, wlq=wlq, sub=sub, quant=quant),
+        _make_wide_kernel(nw, wp=wp, wlq=wlq, sub=sub, quant=quant,
+                          debug=debug, ileaf=ileaf),
         grid=(nb,),
         in_specs=[table_spec] * 5 + [oct_spec] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
@@ -632,9 +687,9 @@ def wide_closest_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "wp", "wlq", "sub",
-                                    "quant"))
+                                    "quant", "ileaf"))
 def wide_any_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
-                 wp=WP, wlq=WLQ, sub=SUB, quant=False):
+                 wp=WP, wlq=WLQ, sub=SUB, quant=False, ileaf=ILEAF):
     """Occlusion for N rays via the wide packet kernel; returns bool (N,)."""
     n = o.shape[0]
     blk = sub * LANE
@@ -652,7 +707,7 @@ def wide_any_hit(wb, wt, wo, leafs, tid, o, d, t_max, *, interpret=True,
 
     occ = pl.pallas_call(
         _make_wide_kernel(nw, occlusion=True, wp=wp, wlq=wlq, sub=sub,
-                          quant=quant),
+                          quant=quant, ileaf=ileaf),
         grid=(nb,),
         in_specs=[table_spec] * 5 + [oct_spec] + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
@@ -687,7 +742,7 @@ def _tl_tables(tl: WideTreeletPack, quant):
 
 def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
                          interpret=True, wp=WP, wlq=WLQ, sub=SUB,
-                         quant=False):
+                         quant=False, ileaf=ILEAF):
     n = o.shape[0]
     quant = quant and tl.qbounds is not None
     wbs, wts = _tl_tables(tl, quant)
@@ -696,7 +751,7 @@ def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
         return wide_closest_hit(wbs[0], wts[0], tl.worder[0],
                                 tl.leafs[0], tl.tid[0], o, d, t0,
                                 interpret=interpret, wp=wp, wlq=wlq, sub=sub,
-                                quant=quant)
+                                quant=quant, ileaf=ileaf)
     init = (t0, jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
 
@@ -706,7 +761,7 @@ def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
         tk, trik, uk, vk = wide_closest_hit(wb, wt, wo, leafs, tid,
                                             o, d, t, interpret=interpret,
                                             wp=wp, wlq=wlq, sub=sub,
-                                            quant=quant)
+                                            quant=quant, ileaf=ileaf)
         imp = trik >= 0
         return (jnp.where(imp, tk, t), jnp.where(imp, trik, tri),
                 jnp.where(imp, uk, u), jnp.where(imp, vk, v)), None
@@ -717,7 +772,7 @@ def wtreelet_closest_hit(tl: WideTreeletPack, o, d, t_max, *,
 
 
 def wtreelet_any_hit(tl: WideTreeletPack, o, d, t_max, *, interpret=True,
-                     wp=WP, wlq=WLQ, sub=SUB, quant=False):
+                     wp=WP, wlq=WLQ, sub=SUB, quant=False, ileaf=ILEAF):
     n = o.shape[0]
     quant = quant and tl.qbounds is not None
     wbs, wts = _tl_tables(tl, quant)
@@ -726,13 +781,14 @@ def wtreelet_any_hit(tl: WideTreeletPack, o, d, t_max, *, interpret=True,
         return wide_any_hit(wbs[0], wts[0], tl.worder[0],
                             tl.leafs[0], tl.tid[0], o, d, t,
                             interpret=interpret, wp=wp, wlq=wlq, sub=sub,
-                            quant=quant)
+                            quant=quant, ileaf=ileaf)
 
     def step(occ, tables):
         wb, wt, wo, leafs, tid = tables
         occ_k = wide_any_hit(wb, wt, wo, leafs, tid, o, d,
                              jnp.where(occ, 0.0, t), interpret=interpret,
-                             wp=wp, wlq=wlq, sub=sub, quant=quant)
+                             wp=wp, wlq=wlq, sub=sub, quant=quant,
+                             ileaf=ileaf)
         return occ | occ_k, None
 
     occ, _ = jax.lax.scan(step, jnp.zeros((n,), bool),
@@ -764,6 +820,11 @@ def _env_quant():
     return os.environ.get("GNX_WBVH_Q", "1") != "0"
 
 
+def _env_ileaf():
+    import os
+    return os.environ.get("GNX_WBVH_ILEAF", "1" if ILEAF else "0") != "0"
+
+
 def wide_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
                             sort_key="oct_morton"):
     """Production wide-BVH closest hit; mirrors
@@ -788,7 +849,8 @@ def wide_closest_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
     t, tri, u, v = wtreelet_closest_hit(bvh.wtreelets, o, d, t_max,
                                         interpret=interpret,
                                         wp=_env_wp(), wlq=_env_wlq(),
-                                        sub=_env_sub(), quant=_env_quant())
+                                        sub=_env_sub(), quant=_env_quant(),
+                                        ileaf=_env_ileaf())
     if sort:
         outp = jnp.stack([t, tri.astype(jnp.float32), u, v], axis=1)[inv]
         t, u, v = outp[:, 0], outp[:, 2], outp[:, 3]
@@ -814,7 +876,7 @@ def wide_any_hit_pallas(bvh, o, d, t_max, sort=True, interpret=False,
         o, d, t_max = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
     occ = wtreelet_any_hit(bvh.wtreelets, o, d, t_max, interpret=interpret,
                            wp=_env_wp(), wlq=_env_wlq(), sub=_env_sub(),
-                           quant=_env_quant())
+                           quant=_env_quant(), ileaf=_env_ileaf())
     if sort:
         occ = occ[inv]
     return occ

@@ -56,6 +56,20 @@ def scene_intersect(scene, cfg, o, d, t_max):
     bary = jnp.zeros((n, 3), jnp.float32)
 
     if cfg.n_tris > 0:
+        if getattr(cfg, "n_big", 0) > 0 and cfg.use_bvh:
+            # big-prim separation: a few huge triangles (e.g. the ground
+            # plane) are brute-forced OUTSIDE the BVH — kept in the tree
+            # they join every packet block's node-set union; tested first,
+            # their hit t also caps the walk below
+            bt = scene.geom.triangles[scene.big_tri_idx]
+            bh = intersect.closest_triangle_hit(o, d, t_best,
+                                                scene.geom.vertices, bt)
+            better = bh.hit & (bh.t < t_best)
+            t_best = jnp.where(better, bh.t, t_best)
+            hit = hit | better
+            kind = jnp.where(better, PRIM_TRI, kind)
+            prim = jnp.where(better, scene.big_tri_idx[bh.tri], prim)
+            bary = jnp.where(better[..., None], bh.b, bary)
         if cfg.use_bvh:
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):
@@ -132,6 +146,13 @@ def scene_occluded(scene, cfg, o, d, t_max):
     n = o.shape[0]
     occ = jnp.zeros((n,), bool)
     if cfg.n_tris > 0:
+        if getattr(cfg, "n_big", 0) > 0 and cfg.use_bvh:
+            bt = scene.geom.triangles[scene.big_tri_idx]
+            occ = occ | intersect.any_triangle_hit(
+                o, d, t_max, scene.geom.vertices, bt)
+            # already-occluded lanes skip the walk (dead-lane sort key)
+            t_max = jnp.where(occ, 0.0, jnp.asarray(t_max, jnp.float32)
+                              * jnp.ones((n,), jnp.float32))
         if cfg.use_bvh:
             mode = getattr(cfg, "bvh_mode", "packet")
             if not getattr(cfg, "bvh_stackless", True):

@@ -160,6 +160,11 @@ class Scene(NamedTuple):
     # emission updates, which keeps the estimator unbiased (any fixed pmf
     # does) and the selection pdf detached for gradients.
     light_pmf: Optional[jnp.ndarray] = None
+    # big-prim separation (ops/bvh.build_bvh subset): global ids of huge
+    # triangles kept OUT of the BVH and brute-forced by scene_intersect —
+    # a giant ground plane in every BVH node-set union wrecks packet
+    # coherence (measured on BASELINE config 4)
+    big_tri_idx: Optional[jnp.ndarray] = None
 
     @property
     def n_lights(self):
@@ -551,7 +556,23 @@ class SceneBuilder:
                 bvh_arrays = build_lbvh(verts, tris)
             else:
                 from ..ops.bvh import build_bvh
-                bvh_arrays = build_bvh(verts, tris)
+                big_idx = None
+                if len(tris) > 4096:
+                    v_np = np.asarray(verts)
+                    t_np = np.asarray(tris)
+                    e1 = v_np[t_np[:, 1]] - v_np[t_np[:, 0]]
+                    e2 = v_np[t_np[:, 2]] - v_np[t_np[:, 0]]
+                    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+                    med = np.median(areas[areas > 0]) if (areas > 0).any() else 0
+                    big = areas > 1000.0 * max(med, 1e-20)
+                    nb = int(big.sum())
+                    if 0 < nb <= 64:
+                        big_idx = np.nonzero(big)[0]
+                if big_idx is not None:
+                    bvh_arrays = build_bvh(verts, tris,
+                                           subset=np.nonzero(~big)[0])
+                else:
+                    bvh_arrays = build_bvh(verts, tris)
 
         scene = Scene(
             geom=geom, materials=mat, lights=lights, env=env, textures=textures,
@@ -561,6 +582,8 @@ class SceneBuilder:
             bvh=bvh_arrays,
             light_dist=None,
             instanced=instanced,
+            big_tri_idx=(None if (not bvh or bvh == "lbvh" or big_idx is None)
+                         else jnp.asarray(big_idx, jnp.int32)),
         )
         from ..models.light_dist import light_powers
 

@@ -181,7 +181,8 @@ def test_reference_parity_mesh_bench_estimator():
                                                 sigma=meta["sigma"])
     cfg = P.make_config(scene, w, h, spp=spp, max_depth=meta["max_depth"],
                         spp_chunk=32, rr_threshold=1.0, fast_mis=True,
-                        compact_tail=True, compact_from=1, compact_frac=4,
+                        compact_tail=True,
+                        compact_stages=((1, 4), (2, 8), (4, 32)),
                         count_rays=True)
     smp = samplers.make_sobol_sampler(spp)
     acc = jnp.zeros((w * h, 3), jnp.float32)
