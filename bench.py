@@ -200,10 +200,16 @@ def bench_mesh(width=500, height=500, spp=64, max_depth=8):
     # a quarter-width buffer (measured 4.05 -> 2.72 s/chunk on v5e;
     # unbiased — pre-thinning RR — and the variance cost measured at the
     # noise floor on the envmesh parity golden, PERF.md r3)
+    # pipeline_casts + a stage at bounce 0: every bounce's shading runs at
+    # the width of lanes whose cast actually hit (49% after the camera
+    # bounce, 4.3% after bounce 1); all stage pre-thin probabilities hit 1
+    # on this workload, so the estimator is bit-identical to the classic
+    # loop (guarded by test_reference_parity_mesh_bench_estimator)
     cfg = path.make_config(scene, width, height, spp=spp,
                            max_depth=max_depth, spp_chunk=spp_chunk,
                            rr_threshold=1.0, fast_mis=True, compact_tail=True,
-                           compact_stages=((1, 4), (2, 8), (4, 32)),
+                           pipeline_casts=True,
+                           compact_stages=((0, 2), (1, 16), (2, 32), (4, 64)),
                            count_rays=True)
     sampler = samplers.make_sobol_sampler(spp)
     img, _ = path._render_chunk_jit(scene, camera, sampler, cfg, 0, spp_chunk)

@@ -89,6 +89,13 @@ class RenderCfg(NamedTuple):
     # compact_from/compact_frac when non-empty; each stage is the same
     # unbiased pre-thinning RR.
     compact_stages: tuple = ()
+    # Software-pipelined fast-MIS loop (round 4): the extension cast moves
+    # to the END of each bounce body, so a compact_stages entry compacts
+    # the wavefront BETWEEN a bounce's cast and its shading work — a stage
+    # at bounce 0 then runs ALL shading (NEE, texture filtering, material
+    # sampling) only on lanes whose camera ray actually hit (49% on the
+    # envmesh bench).  Identical estimator; fast_mis only.
+    pipeline_casts: bool = False
     has_bump: bool = False    # any material carries a bump texture
     pixel_filter: str = "box"  # box | gaussian (filter importance sampling)
     filter_radius: float = 2.0
@@ -512,26 +519,44 @@ def _hit_light_select_pdf(scene, cfg, light_idx):
     return jnp.full(light_idx.shape, 1.0 / nl, jnp.float32)
 
 
-def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
-    """Build the per-bounce body of the fast-MIS loop.  get_ub(b) returns
-    the (n, DIMS_PER_BOUNCE) sample dims for bounce b — either a slice of a
-    precomputed matrix (halton) or computed in-loop (sobol/random)."""
+def _fast_parts(scene, cfg: RenderCfg, get_ub, n, rd=None):
+    """The fast-MIS bounce body split into its three phases so the
+    pipelined runner (_trace_loop_pipelined) can compact the wavefront
+    BETWEEN the cast and the shading work:
 
-    def bounce(b, state):
-        ub = get_ub(b)
+      cast(state)          -> Hit          (packet walk; alive-width cost)
+      emit(b, state, hit)  -> (N,3) L add  (emission/escape with MIS — must
+                                            run at FULL width: escaped
+                                            lanes die right after)
+      work(b, state, hit)  -> state'       (interaction + NEE + extension
+                                            sample + RR — survivors only)
+
+    _make_fast_bounce composes them into the classic monolithic body; the
+    math is identical either way."""
+
+    def cast(state):
         # dead lanes cast with t_max = 0: the packet walks sort them to the
         # end and their blocks terminate at the root in one step, so a cast
         # costs ~(alive fraction) of full width (PERF.md round-2)
-        hit = trace.scene_intersect(scene, cfg, state["o"], state["d"],
-                                    jnp.where(state["alive"], INFINITY, 0.0))
-        it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
-        L = state["L"]
+        return trace.scene_intersect(scene, cfg, state["o"], state["d"],
+                                     jnp.where(state["alive"], INFINITY, 0.0))
 
-        # ---- emission with MIS weight --------------------------------------
+    def emit(b, state, hit, it=None):
+        """Emission/escape contribution of the vertex `hit` (MIS-weighted
+        against the previous bounce's BSDF pdf).  `it` is passed by the
+        classic body (which has it anyway); the pipelined runner passes
+        None and the area block gathers the two fields it needs."""
+        m = hit.t.shape[0]
+        L = jnp.zeros((m, 3), jnp.float32)
+
         if cfg.has_area:
-            is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (it.light >= 0)
-            lidx = jnp.maximum(it.light, 0)
-            le = lights_mod.area_light_emitted(scene, lidx, it.ng, -state["d"],
+            if it is not None:
+                light_id, ng = it.light, it.ng
+            else:
+                light_id, ng = trace.tri_light_and_ng(scene, cfg, hit)
+            is_emitter = hit.hit & (hit.kind == trace.PRIM_TRI) & (light_id >= 0)
+            lidx = jnp.maximum(light_id, 0)
+            le = lights_mod.area_light_emitted(scene, lidx, ng, -state["d"],
                                                cfg.reference_area_bug)
             # pdf of having sampled this emission point via NEE from prev_p
             lrow = lights_mod.light_rows(scene, lidx)
@@ -557,7 +582,7 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
                 # MIS against env importance sampling
                 env_rows = scene.lights.kind == 4
                 env_idx = jnp.argmax(env_rows).astype(jnp.int32)
-                lidx = jnp.full((n,), env_idx, jnp.int32)
+                lidx = jnp.full((m,), env_idx, jnp.int32)
                 env_pdf = lights_mod.pdf_li(scene, cfg, lidx, state["o"], state["d"])
                 w = jnp.where(
                     state["specular"], 1.0,
@@ -573,7 +598,14 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
                 w = jnp.where(state["specular"], 1.0, 0.0)
             L = L + jnp.where(esc[..., None],
                               state["beta"] * le_inf * w[..., None], 0.0)
+        return L
 
+    def work(b, state, hit, it=None, count_cast=True):
+        if it is None:
+            it = trace.make_interaction(scene, cfg, state["o"], state["d"],
+                                        hit)
+        ub = get_ub(b)
+        L = state["L"]
         alive = state["alive"] & hit.hit & (b < cfg.max_depth)
 
         # ---- NEE: light-sample strategy only -------------------------------
@@ -643,13 +675,32 @@ def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
             prev_p=jnp.where(alive[..., None], it.p, state["prev_p"]),
         )
         if cfg.count_rays:
-            # 1 closest-hit cast per alive-at-entry lane + 1 shadow cast per
-            # NEE candidate (folded-MIS: the extension ray IS the BSDF-side
-            # MIS sample, so no third cast)
+            # 1 closest-hit cast per alive-at-entry lane (counted here in
+            # the classic body; the pipelined runner counts casts at its
+            # own cast sites) + 1 shadow cast per NEE candidate
+            # (folded-MIS: the extension ray IS the BSDF-side MIS sample,
+            # so no third cast)
             out["nrays"] = (state["nrays"]
-                            + jnp.sum(state["alive"].astype(jnp.float32))
+                            + (jnp.sum(state["alive"].astype(jnp.float32))
+                               if count_cast else 0.0)
                             + jnp.sum((alive & has_ns & can).astype(jnp.float32)))
         return out
+
+    return cast, emit, work
+
+
+def _make_fast_bounce(scene, cfg: RenderCfg, get_ub, n, rd=None):
+    """Build the classic monolithic per-bounce body of the fast-MIS loop
+    from the split phases.  get_ub(b) returns the (n, DIMS_PER_BOUNCE)
+    sample dims for bounce b — either a slice of a precomputed matrix
+    (halton) or computed in-loop (sobol/random)."""
+    cast, emit, work = _fast_parts(scene, cfg, get_ub, n, rd=rd)
+
+    def bounce(b, state):
+        hit = cast(state)
+        it = trace.make_interaction(scene, cfg, state["o"], state["d"], hit)
+        state = dict(state, L=state["L"] + emit(b, state, hit, it=it))
+        return work(b, state, hit, it=it)
 
     return bounce
 
@@ -661,8 +712,25 @@ def trace_paths_fast(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
     weighted by PowerHeuristic(bsdf_pdf, light_pdf) instead of spawning the
     reference's third per-bounce ray (core/Integrator.cpp:159-207).  Same
     expectation, ~1/3 fewer scene casts and one fewer BSDF sample/bounce."""
+    if getattr(cfg, "pipeline_casts", False):
+        return _trace_loop_pipelined(scene, cfg, sampler, pixel, sample,
+                                     o, d, rd=rd)
     return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
                        _make_fast_bounce, rd=rd)
+
+
+def _prethin_p(alive, m):
+    """Pre-thinning RR survival probability for a compaction into an
+    m-slot buffer: p = min(1, (m - 4*sqrt(m)) / alive).  Unbiased (beta/p);
+    E[kept] <= m - 4*sqrt(m) puts overflow tens of sigmas out (kept is
+    Binomial, std <= sqrt(m)/2), and p == 1 — a bit-identical no-op — in
+    the common case where the survivors already fit with that margin.
+    (Round 4: the old 0.75*m target thinned 23% of lanes when compacting
+    right after the camera cast at 49% occupancy into a half-width
+    buffer.)"""
+    alive_count = jnp.sum(alive.astype(jnp.float32))
+    margin = m - 4.0 * float(m) ** 0.5
+    return jnp.minimum(1.0, margin / jnp.maximum(alive_count, 1.0))
 
 
 def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
@@ -757,13 +825,7 @@ def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
         n_cur = state["o"].shape[0]
         m = n // frac
         alive = state["alive"]
-        alive_count = jnp.sum(alive.astype(jnp.int32))
-        # pre-thinning RR: survival p = min(1, 0.75*M/alive).  Unbiased
-        # (beta/p); keeps E[kept] <= 0.75*M so P(kept > M) is
-        # Chernoff-negligible; p == 1 (bit-identical no-op) when
-        # alive <= 0.75*M — the common case.
-        p_keep = jnp.minimum(
-            1.0, 0.75 * m / jnp.maximum(alive_count.astype(jnp.float32), 1.0))
+        p_keep = _prethin_p(alive, m)
         if inloop:
             u_thin = samplers.sample_bounce_dims(
                 sampler, cur_pixel, cur_sample, jnp.int32(n_dims + si), 1,
@@ -805,6 +867,183 @@ def _trace_loop(scene, cfg: RenderCfg, sampler, pixel, sample, o, d,
 
         bounce = make_bounce(scene, cfg, get_ub, m)
     state = jax.lax.fori_loop(b_prev, cfg.max_depth + 1, bounce, state)
+    L = state["L"]
+    for L_outer, src, valid in reversed(outer):
+        L = L_outer.at[src].add(jnp.where(valid[..., None], L, 0.0))
+    if cfg.count_rays:
+        return L, state["nrays"]
+    return L
+
+
+def _trace_loop_pipelined(scene, cfg: RenderCfg, sampler, pixel, sample,
+                          o, d, rd=None):
+    """Software-pipelined fast-MIS runner (cfg.pipeline_casts).
+
+    Each iteration runs emit(b) -> work(b) -> cast(b+1), so a
+    compact_stages entry (b, frac) compacts the wavefront AFTER bounce b's
+    cast + emission but BEFORE its shading work: a stage at bounce 0 runs
+    all NEE/texture/material shading only on camera rays that actually hit
+    (49% of the envmesh bench), and later stages shrink each bounce's
+    shading width the moment its cast resolves instead of one bounce
+    later.  Identical estimator math to _trace_loop: the same sample dims
+    feed the same computations, only dispatch widths differ (and the
+    pre-thin p hits 1 on every bench stage, making results bit-identical).
+    """
+    n = o.shape[0]
+    n_dims = CAMERA_DIMS + DIMS_PER_BOUNCE * (cfg.max_depth + 1)
+    stages = (tuple(cfg.compact_stages) if cfg.compact_stages
+              else ((cfg.compact_from, cfg.compact_frac),))
+    stages = tuple((b, f) for b, f in stages
+                   if b <= cfg.max_depth and n % f == 0 and n // f >= 256)
+    widths, last, last_b, keep = [], n, -1, []
+    for b, f in stages:
+        m = n // f
+        if m < last and b > last_b:
+            keep.append((b, f))
+            last, last_b = m, b
+    stages = tuple(keep)
+    do_compact = cfg.compact_tail and bool(stages)
+    if not do_compact:
+        return _trace_loop(scene, cfg, sampler, pixel, sample, o, d,
+                           _make_fast_bounce, rd=rd)
+    n_dims_tot = n_dims + len(stages)
+    inloop = samplers.supports_inloop_dims(sampler)
+
+    def make_get_ub(pix, smp, u_mat, m):
+        if inloop:
+            def get_ub(b):
+                base = CAMERA_DIMS + b * DIMS_PER_BOUNCE
+                return samplers.sample_bounce_dims(
+                    sampler, pix, smp, base, DIMS_PER_BOUNCE, n_dims_tot)
+        else:
+            def get_ub(b):
+                return jax.lax.dynamic_slice(
+                    u_mat, (jnp.int32(0), CAMERA_DIMS + b * DIMS_PER_BOUNCE),
+                    (m, DIMS_PER_BOUNCE))
+        return get_ub
+
+    cur_U = (None if inloop
+             else samplers.sample_all_dims(sampler, pixel, sample, n_dims_tot))
+    cur_pixel, cur_sample = pixel, sample
+    cur_rd = rd
+    peel0 = (rd is not None and cfg.has_textures
+             and cfg.texture_filter != "bilinear")
+
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones((n, 3), jnp.float32),
+        L=jnp.zeros((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        specular=jnp.ones((n,), bool),  # bounce 0 counts as specular
+        eta_scale=jnp.ones((n,), jnp.float32),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        prev_p=o,
+    )
+    if cfg.count_rays:
+        state["nrays"] = jnp.zeros((), jnp.float32)
+
+    def make_parts(m, with_rd):
+        get_ub = make_get_ub(cur_pixel, cur_sample, cur_U, m)
+        return _fast_parts(scene, cfg, get_ub, m,
+                           rd=cur_rd if with_rd else None)
+
+    def counted_cast(cast, state):
+        if cfg.count_rays:
+            state = dict(state, nrays=state["nrays"] + jnp.sum(
+                state["alive"].astype(jnp.float32)))
+        return state, cast(state)
+
+    def run_span(b0, b1, state, hit, m):
+        """Full emit->work->cast iterations for bounces [b0, b1)."""
+        if b1 <= b0:
+            return state, hit
+        cast, emit, work = make_parts(m, with_rd=False)
+
+        def body(bb, c):
+            st, h = c
+            st = dict(st, L=st["L"] + emit(bb, st, h))
+            st = work(bb, st, h, count_cast=False)
+            st, h = counted_cast(cast, st)
+            return st, h
+
+        if peel0 and b0 == 0:
+            # bounce 0 peeled out: camera differentials drive the filtered
+            # texture lookup only there (spawned rays have
+            # hasDifferentials=false in the reference)
+            cast0, emit0, work0 = make_parts(m, with_rd=True)
+            state = dict(state, L=state["L"] + emit0(jnp.int32(0), state, hit))
+            state = work0(jnp.int32(0), state, hit, count_cast=False)
+            state, hit = counted_cast(cast0, state)
+            b0 = 1
+        if b1 > b0:
+            state, hit = jax.lax.fori_loop(b0, b1, body, (state, hit))
+        return state, hit
+
+    # camera cast (bounce 0) at full width
+    cast, emit, work = make_parts(n, with_rd=peel0)
+    state, hit = counted_cast(cast, state)
+
+    outer = []  # (L_at_this_width, src, valid) per stage
+    b = 0
+    m_cur = n
+    for si, (cb, frac) in enumerate(stages):
+        state, hit = run_span(b, cb, state, hit, m_cur)
+        # emission of bounce cb at the pre-compaction width (escaped lanes
+        # contribute here and are then dropped)
+        _c, emit, _w = make_parts(m_cur, with_rd=False)
+        state = dict(state, L=state["L"] + emit(cb, state, hit))
+        # ---- compact survivors (lanes that hit AND pass pre-thin RR) ----
+        m = n // frac
+        survivors = state["alive"] & hit.hit
+        p_keep = _prethin_p(survivors, m)
+        if inloop:
+            u_thin = samplers.sample_bounce_dims(
+                sampler, cur_pixel, cur_sample, jnp.int32(n_dims + si), 1,
+                n_dims_tot)[:, 0]
+        else:
+            u_thin = cur_U[:, n_dims + si]
+        kept = survivors & (u_thin < p_keep)
+        beta = state["beta"] / p_keep
+        n_cur = state["o"].shape[0]
+        slots = jnp.cumsum(kept.astype(jnp.int32)) - 1
+        lane_id = jnp.arange(n_cur, dtype=jnp.int32)
+        src = jnp.zeros((m,), jnp.int32).at[
+            jnp.where(kept, slots, m)].set(lane_id, mode="drop")
+        kept_count = jnp.sum(kept.astype(jnp.int32))
+        valid = jnp.arange(m, dtype=jnp.int32) < kept_count
+        outer.append((state["L"], src, valid))
+        nrays_carry = state.get("nrays")
+        hit = trace.Hit(hit=hit.hit[src] & valid, t=hit.t[src],
+                        kind=hit.kind[src], prim=hit.prim[src],
+                        b=hit.b[src])
+        state = dict(
+            o=state["o"][src], d=state["d"][src],
+            beta=beta[src],
+            L=jnp.zeros((m, 3), jnp.float32),
+            alive=valid,
+            specular=state["specular"][src],
+            eta_scale=state["eta_scale"][src],
+            prev_pdf=state["prev_pdf"][src],
+            prev_p=state["prev_p"][src],
+        )
+        if cfg.count_rays:
+            state["nrays"] = nrays_carry  # scalar: carries across widths
+        cur_pixel, cur_sample = cur_pixel[src], cur_sample[src]
+        if not inloop:
+            cur_U = cur_U[src]
+        if cur_rd is not None:
+            cur_rd = jax.tree_util.tree_map(lambda x: x[src], cur_rd)
+        m_cur = m
+        # work + next cast for bounce cb at the compacted width
+        with_rd = peel0 and cb == 0
+        castc, _e, workc = make_parts(m, with_rd=with_rd)
+        state = workc(jnp.int32(cb), state, hit, count_cast=False)
+        state, hit = counted_cast(castc, state)
+        b = cb + 1
+    state, hit = run_span(b, cfg.max_depth, state, hit, m_cur)
+    _c, emit, _w = make_parts(m_cur, with_rd=False)
+    state = dict(state, L=state["L"] + emit(jnp.int32(cfg.max_depth), state,
+                                            hit))
     L = state["L"]
     for L_outer, src, valid in reversed(outer):
         L = L_outer.at[src].add(jnp.where(valid[..., None], L, 0.0))

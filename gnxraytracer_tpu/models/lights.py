@@ -268,7 +268,8 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
         from ..ops.sampling import Distribution2D
 
         dist2 = Distribution2D(env.cond_func, env.cond_cdf, env.cond_int,
-                               env.marg_cdf, env.marg_int)
+                               env.marg_cdf, env.marg_int,
+                               getattr(env, "cond_inv", None))
         uv, map_pdf = sample_continuous_2d(dist2, u2)
         theta = uv[..., 1] * PI
         phi = uv[..., 0] * 2.0 * PI

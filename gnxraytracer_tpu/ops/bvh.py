@@ -18,6 +18,7 @@ Leaves hold up to LEAF_SIZE prims so leaf processing is a fixed-size masked
 intersection (no per-lane variable loops).
 """
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,7 +28,12 @@ import numpy as np
 from ..constants import INFINITY
 from .intersect import TriHit, _permute_shear, _watertight_one
 
-LEAF_SIZE = 4
+# Leaf width of every fixed-size leaf intersector (XLA packet walk, Pallas
+# binary + wide kernels).  8 measured best on the v5e wide kernel: leaf
+# rows (and so leaf-queue rounds, the serial cost) halve while the extra
+# triangle tests are pure vector work (PERF.md round 4).  Env-overridable
+# for A/B only — all build and kernel paths read this one constant.
+LEAF_SIZE = int(os.environ.get("GNX_LEAF", "4"))
 MAX_STACK = 64  # matches the reference's 64-deep stack (BVHAccel.cpp:661)
 MAX_TRAV_STEPS = 4096  # termination guarantee for the lockstep walk
 

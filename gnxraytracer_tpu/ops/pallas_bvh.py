@@ -58,7 +58,7 @@ from ..constants import INFINITY
 SUB = 8          # sublanes
 LANE = 128       # lanes
 BLOCK = SUB * LANE  # rays per grid program
-LEAF_SIZE = 4    # must match ops/bvh.LEAF_SIZE
+from .bvh import LEAF_SIZE  # one source of truth (env-overridable there)
 MAX_STEPS = 65536
 
 

@@ -145,8 +145,14 @@ def make_distribution1d(func):
 
 def _find_interval(cdf, u):
     """Index i with cdf[i] <= u < cdf[i+1]; vectorized FindInterval."""
-    # searchsorted(side='right') - 1 clamps to the same interval semantics
-    idx = jnp.searchsorted(cdf, u, side="right") - 1
+    if cdf.ndim == 1 and cdf.shape[-1] <= 2048:
+        # compare-count: one fused (N, W+1) compare+reduce instead of the
+        # while-loop XLA lowers searchsorted to — ~30x faster at wavefront
+        # widths on TPU (PERF.md round 4), bit-identical semantics
+        # (side='right' insertion point == count of entries <= u)
+        idx = jnp.sum((cdf <= u[..., None]).astype(jnp.int32), axis=-1) - 1
+    else:
+        idx = jnp.searchsorted(cdf, u, side="right") - 1
     return jnp.clip(idx, 0, cdf.shape[-1] - 2)
 
 
@@ -196,35 +202,101 @@ class Distribution2D(NamedTuple):
     cond_int: jnp.ndarray
     marg_cdf: jnp.ndarray
     marg_int: jnp.ndarray
+    # Optional (H, M+2) int32 inverse-CDF jump table for the conditional
+    # rows: entry [r, j] = FindInterval(cond_cdf[r], just_below(j/M)).
+    # Present only when built from concrete arrays AND every two-bucket
+    # span covers <= _INV_MAX_GAP CDF intervals, so a fixed
+    # _INV_BISECT_ITERS-step bisection is guaranteed exact (round 4: cuts
+    # the per-lane env-CDF bisection from ~10 flat gathers to 4).
+    cond_inv: jnp.ndarray = None
 
     @property
     def shape(self):
         return self.cond_func.shape
 
 
-def make_distribution2d(func):
+_INV_BISECT_ITERS = 4
+_INV_MAX_GAP = 1 << _INV_BISECT_ITERS
+
+
+def _build_row_inverse(cdf_rows):
+    """Host-side inverse-CDF jump table over concrete (H, W+1) CDF rows.
+
+    Returns (inv (H, M+2) int32, ok); inv[r, j] is the interval index at a
+    tick just BELOW j/M (ticks j = 0..M+1, so bucket j's answer lies in
+    [inv[r, j-1], inv[r, j+2]] — the bucket of slack on each side absorbs
+    float32 rounding of u*M at runtime).  M starts at W and doubles (up to
+    32x) until every three-bucket span covers <= _INV_MAX_GAP CDF
+    intervals; ok is False when even the finest table fails (CDFs with
+    long flat runs — e.g. hundreds of zero-mass texels at one u), in which
+    case callers skip the table."""
+    import numpy as np
+
+    cdf_rows = np.asarray(cdf_rows)
+    h, w1 = cdf_rows.shape
+    w = w1 - 1
+    for mult in (1, 2, 4, 8, 16, 32):
+        m = w * mult
+        ticks = np.nextafter((np.arange(m + 2) / m).astype(np.float32),
+                             np.float32(-np.inf))
+        inv = np.empty((h, m + 2), np.int64)
+        for r in range(h):
+            inv[r] = np.searchsorted(cdf_rows[r], ticks, side="right") - 1
+        np.clip(inv, 0, w1 - 2, out=inv)
+        gap = int((inv[:, 3:] + 1 - inv[:, :-3]).max()) if m >= 2 else 0
+        if gap <= _INV_MAX_GAP:
+            return inv.astype(np.int32), True
+    return inv.astype(np.int32), False
+
+
+def make_distribution2d(func, inverse_table=True):
     func = jnp.asarray(func, jnp.float32)
     cond = make_distribution1d(func)  # batched over rows
     marg = make_distribution1d(cond.func_int)
-    return Distribution2D(cond.func, cond.cdf, cond.func_int, marg.cdf, marg.func_int)
+    cond_inv = None
+    if inverse_table:
+        import jax
+
+        if not isinstance(cond.cdf, jax.core.Tracer):
+            inv, ok = _build_row_inverse(cond.cdf)
+            if ok:
+                cond_inv = jnp.asarray(inv)
+    return Distribution2D(cond.func, cond.cdf, cond.func_int, marg.cdf,
+                          marg.func_int, cond_inv)
 
 
-def _row_searchsorted(cdf2d, rows, u):
+def _row_searchsorted(cdf2d, rows, u, inv=None):
     """Per-lane searchsorted(cdf2d[rows[i]], u[i], side='right') - 1 without
     materializing per-lane CDF rows.  The obvious `cdf2d[rows]` gather is
     (N, W+1) — at a 1M-lane wavefront against a 1000-column environment
     CDF that is ~4 GB of gather traffic PER CALL (measured: it dominated
     the whole mesh render, PERF.md round-2).  A bisection over the flat
-    table is ceil(log2(W+1)) scalar gathers per lane instead."""
+    table is ceil(log2(W+1)) scalar gathers per lane instead; with an
+    inverse jump table (`inv`, see _build_row_inverse) the bisection
+    starts from a <= _INV_MAX_GAP-wide bracket and needs only
+    _INV_BISECT_ITERS gathers."""
     import numpy as np
 
     w1 = cdf2d.shape[-1]
     flat = cdf2d.reshape(-1)
     base = rows.astype(jnp.int32) * w1
-    lo = jnp.zeros(rows.shape, jnp.int32)
-    hi = jnp.full(rows.shape, w1, jnp.int32)
+    if inv is not None:
+        m = inv.shape[-1] - 2
+        j = jnp.clip((u * m).astype(jnp.int32), 0, m - 1)
+        ibase = rows.astype(jnp.int32) * (m + 2)
+        inv_flat = inv.reshape(-1)
+        # one bucket of slack on EACH side: float32 rounding of u*m can put
+        # j one off in either direction; the build-time gap bound covers
+        # the whole 3-bucket bracket
+        lo = inv_flat[ibase + jnp.maximum(j - 1, 0)]
+        hi = inv_flat[ibase + j + 2] + 1
+        n_iter = _INV_BISECT_ITERS
+    else:
+        lo = jnp.zeros(rows.shape, jnp.int32)
+        hi = jnp.full(rows.shape, w1, jnp.int32)
+        n_iter = int(np.ceil(np.log2(max(w1, 2))))
     # invariant: cdf[lo] <= u (cdf[0] == 0 <= u) and (hi == w1 or cdf[hi] > u)
-    for _ in range(int(np.ceil(np.log2(max(w1, 2))))):
+    for _ in range(n_iter):
         done = (hi - lo) <= 1
         mid = (lo + hi) >> 1
         v = flat[base + jnp.clip(mid, 0, w1 - 1)]
@@ -241,7 +313,8 @@ def sample_continuous_2d(dist: Distribution2D, u):
     d1, pdf1, v_idx = sample_continuous_1d(marg, u[..., 1])
     # Row-dependent conditional: flat-gather bisection (see _row_searchsorted)
     u0 = u[..., 0]
-    idx = jnp.clip(_row_searchsorted(dist.cond_cdf, v_idx, u0), 0, w - 1)
+    idx = jnp.clip(_row_searchsorted(dist.cond_cdf, v_idx, u0,
+                                     inv=dist.cond_inv), 0, w - 1)
     w1 = dist.cond_cdf.shape[-1]
     cdf_flat = dist.cond_cdf.reshape(-1)
     base = v_idx.astype(jnp.int32) * w1

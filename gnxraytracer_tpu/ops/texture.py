@@ -57,8 +57,16 @@ def bilinear_lookup(atlas, offsets, sizes, tex_id, uv, level=0):
 
     atlas: (K, H_total, W, 3); tex_id: (N,); uv: (N,2).
     """
-    s = sizes[level]
-    off = offsets[level]
+    if isinstance(level, int):
+        s = sizes[level]
+        off = offsets[level]
+    else:
+        # per-lane levels: pow-2 pyramid arithmetic instead of per-lane
+        # table gathers (sizes[l] = base >> l, offsets[l] = 2b - b>>(l-1))
+        base = sizes[0]
+        s = base >> level
+        off = jnp.where(level == 0, 0,
+                        2 * base - (base >> jnp.maximum(level - 1, 0)))
     sf = s.astype(jnp.float32)
     u = uv[..., 0] * sf - 0.5
     v = uv[..., 1] * sf - 0.5
@@ -115,15 +123,31 @@ def ewa_lookup(atlas, offsets, sizes, tex_id, uv, dst0, dst1,
     l0i = jnp.floor(lod).astype(jnp.int32)
     dl = (lod - l0i.astype(jnp.float32))[..., None]
 
+    # --- round-4 fast path: segment gathers instead of per-texel gathers.
+    # The old loop issued window^2 per-lane texel gathers per level (128 at
+    # window=8) — measured ~2.6 ms EACH at 1M lanes, 660 ms/chunk on the
+    # mesh bench.  Rows of 8 texels are stored as aligned 24-float segment
+    # rows (a pure reshape of the atlas, so texel gradients still flow);
+    # each window row needs at most TWO segments (the window is <= 9 wide),
+    # which a per-lane barrel rotate aligns to the window start.  Taps,
+    # weights, and texel values are IDENTICAL to the per-texel loop.
+    k_tex, h_tot, w_tex = atlas.shape[0], atlas.shape[1], atlas.shape[2]
+    use_seg = (w_tex % 8 == 0) and window <= 9
+    seg = atlas.reshape(-1, 24) if use_seg else None
+    segs_per_row = w_tex // 8 if use_seg else 0
+    base = sizes[0]
+
     def ewa_level(level_idx):
-        """level_idx: (N,) per-lane mip level — the level params (size, row
-        offset) are gathered per lane, so the footprint scan runs ONCE for
-        all lanes instead of once per static level (the reference scans a
-        per-lookup ellipse bbox, MIPMap.h:298-324; a fixed window x window
-        scan at per-lane levels is the vectorized equivalent)."""
-        s = sizes[level_idx].astype(jnp.float32)
-        off = offsets[level_idx]
-        si = sizes[level_idx]
+        """level_idx: (N,) per-lane mip level.  Level size/offset come from
+        arithmetic on the pow-2 pyramid (sizes[l] = base >> l; offsets[l] =
+        2*base - base >> (l-1)) — no per-lane table gathers.  The footprint
+        scan runs ONCE for all lanes at per-lane levels (the reference
+        scans a per-lookup ellipse bbox, MIPMap.h:298-324; a fixed
+        window x window scan is the vectorized equivalent)."""
+        si = base >> level_idx
+        s = si.astype(jnp.float32)
+        off = jnp.where(level_idx == 0, 0,
+                        2 * base - (base >> jnp.maximum(level_idx - 1, 0)))
         st = uv * s[..., None] - 0.5
         e0 = d0 * s[..., None]
         e1 = d1 * s[..., None]
@@ -138,24 +162,68 @@ def ewa_lookup(atlas, offsets, sizes, tex_id, uv, dst0, dst1,
         t0 = jnp.round(st[..., 1]).astype(jnp.int32) - window // 2
         acc = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
         wsum = jnp.zeros(uv.shape[:-1], jnp.float32)
+        if use_seg:
+            nbs = jnp.maximum(si >> 3, 1)
+            c0 = jnp.mod(s0, si)                # window-start col in [0, si)
+            b_a = jnp.minimum(c0 >> 3, nbs - 1)
+            b_b = jnp.mod(b_a + 1, nbs)
+            rot = c0 & 7
+            small = si < 8                       # si in {1,2,4}: periodize
+            row_base = tex_id * h_tot + off
         for it in range(window):
+            tt = (t0 + it).astype(jnp.float32) - st[..., 1]
+            if use_seg:
+                vi = jnp.mod(t0 + it, si)
+                rb = (row_base + vi) * segs_per_row
+                seg_a = seg[rb + b_a]            # (N, 24) = 8 texels RGB
+                seg_b = seg[rb + b_b]
+                cat = jnp.concatenate([seg_a, seg_b], axis=-1)  # 16 texels
+                # barrel-rotate left by `rot` texels: position k -> col
+                # (c0 + k) mod si for si >= 8 (for si == 8 the two halves
+                # are the same segment, so the mod-16 roll wraps mod 8)
+                for sh in (4, 2, 1):
+                    rolled = jnp.roll(cat, -3 * sh, axis=-1)
+                    cat = jnp.where(((rot & sh) != 0)[..., None], rolled, cat)
             for is_ in range(window):
                 ss_ = (s0 + is_).astype(jnp.float32) - st[..., 0]
-                tt = (t0 + it).astype(jnp.float32) - st[..., 1]
                 r2 = a * ss_ * ss_ + b * ss_ * tt + c * tt * tt
                 w = jnp.where(r2 < 1.0,
                               jnp.exp(-2.0 * r2) - jnp.exp(-2.0), 0.0)
-                ui = jnp.mod(s0 + is_, si)
-                vi = jnp.mod(t0 + it, si)
-                acc = acc + w[..., None] * atlas[tex_id, off + vi, ui]
+                if use_seg:
+                    # si in {1,2,4}: `(c0+is_) mod si` = masked index into
+                    # segment A with only 1/2/4 static candidates
+                    ci = c0 + is_
+                    p2 = jnp.where(((ci & 1) == 1)[..., None],
+                                   seg_a[..., 3:6], seg_a[..., 0:3])
+                    i4a = jnp.where(((ci & 1) == 1)[..., None],
+                                    seg_a[..., 3:6], seg_a[..., 0:3])
+                    i4b = jnp.where(((ci & 1) == 1)[..., None],
+                                    seg_a[..., 9:12], seg_a[..., 6:9])
+                    p4 = jnp.where(((ci & 2) == 2)[..., None], i4b, i4a)
+                    small_texel = jnp.where(
+                        (si == 1)[..., None], seg_a[..., 0:3],
+                        jnp.where((si == 2)[..., None], p2, p4))
+                    texel = jnp.where(
+                        small[..., None], small_texel,
+                        cat[..., 3 * is_: 3 * is_ + 3])
+                else:
+                    ui = jnp.mod(s0 + is_, si)
+                    vi = jnp.mod(t0 + it, si)
+                    texel = atlas[tex_id, off + vi, ui]
+                acc = acc + w[..., None] * texel
                 wsum = wsum + w
-        fallback = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, 0)
-        ok = (wsum > 1e-8)[..., None]
-        return jnp.where(ok, acc / jnp.maximum(wsum[..., None], 1e-8), fallback)
+        return acc, wsum
 
-    out0 = ewa_level(l0i)
-    out1 = ewa_level(jnp.minimum(l0i + 1, n_levels - 1))
-    return (1.0 - dl) * out0 + dl * out1
+    acc0, w0 = ewa_level(l0i)
+    acc1, w1 = ewa_level(jnp.minimum(l0i + 1, n_levels - 1))
+    fallback = bilinear_lookup(atlas, offsets, sizes, tex_id, uv, 0)
+
+    def finish(acc, wsum):
+        ok = (wsum > 1e-8)[..., None]
+        return jnp.where(ok, acc / jnp.maximum(wsum[..., None], 1e-8),
+                         fallback)
+
+    return (1.0 - dl) * finish(acc0, w0) + dl * finish(acc1, w1)
 
 
 def trilinear_lookup(atlas, offsets, sizes, tex_id, uv, width):

@@ -245,6 +245,44 @@ def tri_emission_attrs(scene, cfg, prim_idx):
             g.vertices[tri[:, 2]], g.tri_light[prim_idx])
 
 
+def tri_light_and_ng(scene, cfg, hit: Hit):
+    """(light_id, ng) of a triangle hit — the ONLY Interaction fields the
+    emission term reads.  Used by the pipelined loop to evaluate emission
+    at full width without building the whole interaction there (the rest
+    of the interaction is built post-compaction).  Matches
+    make_interaction's ng exactly, including the shading-normal
+    face_forward fixup."""
+    g = scene.geom
+    is_tri = hit.kind == PRIM_TRI
+    tri_idx = jnp.where(is_tri, hit.prim, 0)
+    if 0 < cfg.n_tris <= ONEHOT_MAX_TRIS:
+        attrs = onehot_gather(_tri_attr_table(g), tri_idx, cfg.n_tris)
+        p0, p1, p2 = attrs[:, 0:3], attrs[:, 3:6], attrs[:, 6:9]
+        light = jnp.round(attrs[:, 25]).astype(jnp.int32)
+        n0, n1, n2 = attrs[:, 15:18], attrs[:, 18:21], attrs[:, 21:24]
+        has_normals = g.normals is not None
+    else:
+        tri = g.triangles[tri_idx]
+        p0 = g.vertices[tri[:, 0]]
+        p1 = g.vertices[tri[:, 1]]
+        p2 = g.vertices[tri[:, 2]]
+        light = g.tri_light[tri_idx]
+        has_normals = g.normals is not None
+        if has_normals:
+            n0 = g.normals[tri[:, 0]]
+            n1 = g.normals[tri[:, 1]]
+            n2 = g.normals[tri[:, 2]]
+    ng = normalize(cross(p0 - p2, p1 - p2))
+    if has_normals:
+        b = hit.b
+        ns = normalize(b[:, 0:1] * n0 + b[:, 1:2] * n1 + b[:, 2:3] * n2,
+                       eps=1e-20)
+        degen = jnp.sum(ns * ns, axis=-1) < 0.5
+        ns = jnp.where(degen[:, None], ng, ns)
+        ng = face_forward(ng, ns)
+    return jnp.where(is_tri, light, -1), ng
+
+
 def make_interaction(scene, cfg, o, d, hit: Hit) -> Interaction:
     """Build the surface interaction for each (possibly invalid) lane."""
     g = scene.geom

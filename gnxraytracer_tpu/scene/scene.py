@@ -139,6 +139,10 @@ class EnvMap(NamedTuple):
     marg_int: jnp.ndarray
     world_to_light: jnp.ndarray  # (4,4)
     light_to_world: jnp.ndarray  # (4,4)
+    # optional inverse-CDF jump table for the conditional rows (round 4:
+    # bounds the per-lane sampling bisection to 4 gathers; see
+    # ops/sampling._build_row_inverse)
+    cond_inv: jnp.ndarray = None
 
 
 class Scene(NamedTuple):
@@ -481,6 +485,7 @@ class SceneBuilder:
                 marg_cdf=d2.marg_cdf, marg_int=d2.marg_int,
                 world_to_light=jnp.asarray(np.linalg.inv(l2w).astype(np.float32)),
                 light_to_world=jnp.asarray(np.asarray(l2w, np.float32)),
+                cond_inv=d2.cond_inv,
             )
 
         textures = None
