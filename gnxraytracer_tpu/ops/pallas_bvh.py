@@ -39,9 +39,13 @@ latency-bound — a dependent scalar VMEM load already costs ~450 ns, and
 SMEM tops out at ~4-8 KB on v5e, both measured, PERF.md r3).
 
 Compiled and benchmarked on real TPU (v5e) — production
-scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas";
-the 105k-tri BASELINE config-4 bench runs it at 42.5 s / 64 spp / 500^2
-(BENCH_r03).
+scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas".
+With the round-4 wide (BVH4) scalar-stack kernel (see wbvh section
+below), the quantized child records, and the pipelined/compacted
+wavefront, the 105k-tri BASELINE config-4 bench runs at ~11.7 s /
+64 spp / 500^2 = 1.36 Mpaths/s — 1.34x the 2-core CPU reference
+(bench.py median-of-3; the driver's BENCH_r04.json is the number of
+record).
 """
 
 import functools

@@ -1,5 +1,7 @@
 """Pallas intersection kernel vs the XLA path (interpret mode on CPU)."""
 
+import functools
+
 import jax.numpy as jnp
 import pytest
 import numpy as np
@@ -327,3 +329,39 @@ class TestWatertightLeaf:
         both = np.asarray(th.hit) & np.asarray(ref.hit)
         np.testing.assert_allclose(np.asarray(th.t)[both],
                                    np.asarray(ref.t)[both], rtol=1e-5)
+
+
+class TestCpackInterleave:
+    def test_cpk2_matches_cpk1(self):
+        """The CPACK>=2 cursor-interleave machinery in the binary packet
+        kernel ships with CPACK=1 in production (measured slower
+        end-to-end, PERF.md r3) but must not rot (ADVICE r3): run the
+        un-jitted wrapper with the module global patched to 2 and demand
+        bit-identical results vs the default."""
+        from gnxraytracer_tpu.ops import bvh as bvh_mod
+        from gnxraytracer_tpu.ops import pallas_bvh as pb
+
+        verts, idx, o, d = scene_and_rays(n_tris=150, n_rays=2500, seed=11)
+        tree = bvh_mod.build_bvh(verts, idx)
+        tables = pb.pack_bvh_for_pallas(tree)
+        t_max = jnp.full(2500, 1e30, jnp.float32)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+
+        base = pb.packet_closest_hit(*tables, o, d, t_max, interpret=True)
+        assert pb.CPACK == 1, "production default changed; retune this test"
+        old, old_mk = pb.CPACK, pb._make_kernel
+        try:
+            # CPACK is a source-edit constant: the wrapper reads the
+            # module global for its block shapes but _make_kernel's cpk
+            # default was bound at def time, so BOTH must be patched (a
+            # half-patch writes only the first sub-block's outputs)
+            pb.CPACK = 2
+            pb._make_kernel = functools.partial(old_mk, cpk=2)
+            # un-jitted call: the jit cache does not key on the module
+            # global, so the patched value must bypass it
+            two = pb.packet_closest_hit.__wrapped__(
+                *tables, o, d, t_max, interpret=True)
+        finally:
+            pb.CPACK, pb._make_kernel = old, old_mk
+        for a, b in zip(base, two):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
