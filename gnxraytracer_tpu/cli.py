@@ -27,6 +27,9 @@ PRESETS = {
     "sphere": "Single matte sphere + point light (BASELINE cfg 1)",
     "volume": "Volumetric Cornell: grid medium + homogeneous glass (BASELINE cfg 5)",
     "envmap": "Mesh + InfiniteAreaLight HDR environment (BASELINE cfg 4)",
+    "gmd": "Cornell + Glass/Mirror/Disney boxes (oracle parity twin)",
+    "metal": "Cornell + the reference app's Metal/Plastic presets (parity twin)",
+    "gridvol": "Cornell + GridDensityMedium from density_render.70.volume",
 }
 
 
@@ -48,6 +51,12 @@ def build_preset(name, width, height, spp):
         return presets.volumetric_cornell(width, height)
     if name == "envmap":
         return presets.envmap_mesh(width, height)
+    if name == "gmd":
+        return presets.cornell_gmd(width, height)
+    if name == "metal":
+        return presets.cornell_metal(width, height)
+    if name == "gridvol":
+        return presets.cornell_gridvol(width, height)
     raise SystemExit(f"unknown preset {name}; try: {', '.join(PRESETS)}")
 
 

@@ -48,10 +48,53 @@ def _static_dim_fn(sampler, pixel, sample):
     return samplers.static_dim_fn(sampler, pixel, sample)
 
 
-def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
+def _specular_diff_update(it, d_in, rd, wi_world, is_transmit, eta_mat,
+                          dpdx, dpdy):
+    """Propagate ray differentials through a specular bounce — the exact
+    update of SpecularReflect/SpecularTransmit
+    (core/Integrator.cpp:336-442), with dndx = dndy = 0: exact for
+    triangles (the reference's Triangle sets dndu = dndv = 0;
+    shape/Triangle.cpp), a documented flat-shading approximation for
+    spheres.  All vectors world-space; eta_mat is the material (interior)
+    IOR for transmit lanes."""
+    wo = -d_in
+    ns = it.ns
+    rxo2, ryo2 = it.p + dpdx, it.p + dpdy
+    dwodx = -rd.rx_d - wo
+    dwody = -rd.ry_d - wo
+
+    def _dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    # reflect branch (Integrator.cpp:342-353)
+    rxd_r = wi_world - dwodx + 2.0 * _dot(dwodx, ns)[:, None] * ns
+    ryd_r = wi_world - dwody + 2.0 * _dot(dwody, ns)[:, None] * ns
+
+    # transmit branch (Integrator.cpp:381-440): flip ns into wo's
+    # hemisphere; eta is the wo-side -> wi-side relative IOR
+    entering = _dot(wo, ns) > 0
+    eta = jnp.where(entering, 1.0 / eta_mat, eta_mat)
+    ns_t = jnp.where(entering[:, None], ns, -ns)
+    dDNdx = _dot(dwodx, ns_t)
+    dDNdy = _dot(dwody, ns_t)
+    won = _dot(wo, ns_t)
+    win = jnp.maximum(jnp.abs(_dot(wi_world, ns_t)), 1e-8)
+    dmu_f = eta - (eta * eta * won) / win
+    rxd_t = wi_world - eta[:, None] * dwodx + (dmu_f * dDNdx)[:, None] * ns_t
+    ryd_t = wi_world - eta[:, None] * dwody + (dmu_f * dDNdy)[:, None] * ns_t
+
+    tm = is_transmit[:, None]
+    return cam_mod.RayDifferentials(
+        rx_o=rxo2, rx_d=jnp.where(tm, rxd_t, rxd_r),
+        ry_o=ryo2, ry_d=jnp.where(tm, ryd_t, ryd_r))
+
+
+def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d, rd=None):
     n = o.shape[0]
     dims_per_depth = 2 * cfg.n_lights + 2
     dim_col = _static_dim_fn(sampler, pixel, sample)
+    filtered_tex = (rd is not None and cfg.has_textures
+                    and cfg.texture_filter != "bilinear")
 
     # STATIC recursion bound: Whitted only continues through specular
     # reflection/transmission (WhittedIntegrator.cpp:56-62 via
@@ -70,6 +113,12 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         L=jnp.zeros((n, 3), jnp.float32),
         alive=jnp.ones((n,), bool),
     )
+    if filtered_tex:
+        # ray-differential state, propagated through specular bounces
+        # exactly as the reference's Whitted recursion does
+        # (core/Integrator.cpp:336-442) — the path integrator instead
+        # drops differentials on spawned rays, as its reference does
+        state.update(rxo=rd.rx_o, rxd=rd.rx_d, ryo=rd.ry_o, ryd=rd.ry_d)
 
     def depth_step(b, state):
         base = CAMERA_DIMS + b * dims_per_depth
@@ -100,6 +149,24 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         mats_row = mat_mod.gather_material_table(scene.materials,
                                                  jnp.maximum(it.mat, 0))
 
+        # textured kd, filtered through the CURRENT depth's differentials
+        # (camera footprint at b=0, specular-propagated after)
+        kd_ov = None
+        cur_rd = dpdx = dpdy = None
+        if cfg.has_textures:
+            if filtered_tex:
+                cur_rd = cam_mod.RayDifferentials(
+                    state["rxo"], state["rxd"], state["ryo"], state["ryd"])
+                dpdu, dpdv = trace.triangle_dpduv(scene, hit)
+                duvdx, duvdy, dpdx, dpdy = trace.compute_differentials(
+                    it.p, it.ns, dpdu, dpdv, cur_rd, return_dp=True)
+                kd_ov = mat_mod.resolve_kd(scene, cfg, None, it.uv,
+                                           mats=mats_row,
+                                           duv=(duvdx, duvdy))
+            else:
+                kd_ov = mat_mod.resolve_kd(scene, cfg, None, it.uv,
+                                           mats=mats_row)
+
         # direct lighting: one sample from EVERY light (Whitted loop).
         # Skybox lights are statically skipped: SkyBoxLight::Sample_Li is
         # black with pdf 0 (SkyBoxLight.cpp:42-53), so its term is always
@@ -112,7 +179,8 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             lidx = jnp.full((n,), li_idx, jnp.int32)
             ls = lights_mod.sample_li(scene, cfg, lidx, it.p, u_l)
             wi_local = trace.to_local(it, ls.wi)
-            f, _pdf = mat_mod.evaluate(mats_row, None, cfg, wo_local, wi_local)
+            f, _pdf = mat_mod.evaluate(mats_row, None, cfg, wo_local, wi_local,
+                                       kd_override=kd_ov)
             f = f * absdot(ls.wi, it.ns)[..., None]
             can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
             so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
@@ -129,19 +197,35 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
         u_s = jnp.stack([dim_col(base + 2 * cfg.n_lights),
                          dim_col(base + 2 * cfg.n_lights + 1)], axis=-1)
         smp = mat_mod.sample(mats_row, None, cfg, wo_local, u_s,
-                             u_s[..., 0])
+                             u_s[..., 0], kd_override=kd_ov)
         continue_spec = alive & smp.specular & smp.valid
         beta = state["beta"] * smp.weight
         wi_world = trace.to_world(it, smp.wi)
         no, nd = trace.spawn_ray(it, wi_world)
 
-        return dict(
+        out = dict(
             o=jnp.where(continue_spec[..., None], no, state["o"]),
             d=jnp.where(continue_spec[..., None], nd, state["d"]),
             beta=jnp.where(continue_spec[..., None], beta, state["beta"]),
             L=L,
             alive=continue_spec,
         )
+        if filtered_tex:
+            # a transmit sample flips wi to wo's opposite hemisphere in
+            # the shading frame; that selects the Integrator.cpp:381-440
+            # transmit update, else the :342-353 reflect update
+            is_transmit = (smp.wi[..., 2] * wo_local[..., 2]) < 0
+            new_rd = _specular_diff_update(it, state["d"], cur_rd, wi_world,
+                                           is_transmit, mats_row.eta,
+                                           dpdx, dpdy)
+            c = continue_spec[..., None]
+            out.update(
+                rxo=jnp.where(c, new_rd.rx_o, state["rxo"]),
+                rxd=jnp.where(c, new_rd.rx_d, state["rxd"]),
+                ryo=jnp.where(c, new_rd.ry_o, state["ryo"]),
+                ryd=jnp.where(c, new_rd.ry_d, state["ryd"]),
+            )
+        return out
 
     # Python-unrolled depth loop: every sampler dim is STATIC, so Halton
     # columns run their static-base digit loops in place (no matrix)
@@ -271,10 +355,17 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
     p_film, t_u, l_u = samplers.camera_sample(
         sampler, pixel, sample, cfg.width, cfg.pixel_filter,
         cfg.filter_radius, cfg.filter_alpha)
-    o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-    tracer = (trace_paths_faithful if getattr(cfg, "whitted_faithful", False)
-              else trace_paths)
-    L = tracer(scene, cfg, sampler, pixel, sample, o, d)
+    rd = None
+    if cfg.has_textures and cfg.texture_filter != "bilinear":
+        o, d, _t, rd = cam_mod.generate_ray_differentials(
+            camera, p_film, t_u, l_u)
+        rd = cam_mod.scale_differentials(o, d, rd, 1.0 / (cfg.spp ** 0.5))
+    else:
+        o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
+    if getattr(cfg, "whitted_faithful", False):
+        L = trace_paths_faithful(scene, cfg, sampler, pixel, sample, o, d)
+    else:
+        L = trace_paths(scene, cfg, sampler, pixel, sample, o, d, rd=rd)
     return jnp.sum(L.reshape(n_samples, hw, 3), axis=0)
 
 

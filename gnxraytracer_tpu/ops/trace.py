@@ -571,12 +571,15 @@ def triangle_dpduv(scene, hit: Hit):
     return jnp.where(bad, fb_u, dpdu), jnp.where(bad, fb_v, dpdv)
 
 
-def compute_differentials(p, n, dpdu, dpdv, rd):
+def compute_differentials(p, n, dpdu, dpdv, rd, return_dp=False):
     """SurfaceInteraction::ComputeDifferentials
     (core/Interaction.cpp:65-114): intersect the two auxiliary rays with
     the tangent plane, then solve the 2x2 system for (du,dv) per axis.
 
-    rd: camera.RayDifferentials. Returns (duvdx (N,2), duvdy (N,2)).
+    rd: camera.RayDifferentials. Returns (duvdx (N,2), duvdy (N,2)); with
+    return_dp also (dpdx (N,3), dpdy (N,3)) — the surface footprint the
+    specular differential propagation (whitted) spawns its auxiliary
+    origins from (core/Integrator.cpp:339-340 `isect.p + isect.dpdx`).
     """
     d_plane = dot(n, p)
 
@@ -616,6 +619,9 @@ def compute_differentials(p, n, dpdu, dpdv, rd):
 
     duvdx = jnp.where(okx[:, None], solve(dpdx), 0.0)
     duvdy = jnp.where(oky[:, None], solve(dpdy), 0.0)
+    if return_dp:
+        return duvdx, duvdy, jnp.where(okx[:, None], dpdx, 0.0), \
+            jnp.where(oky[:, None], dpdy, 0.0)
     return duvdx, duvdy
 
 

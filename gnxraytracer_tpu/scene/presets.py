@@ -159,6 +159,33 @@ def cornell_gmd(width=500, height=500, sigma=0.0):
     return scene, cam
 
 
+def cornell_metal(width=500, height=500):
+    """Parity twin of the oracle's `metal` scene: Cornell + area light +
+    two boxes carrying the reference app's OWN Metal and Plastic presets —
+    getYelloMetalMaterial (ui/MaterialList.cpp:58-69: eta (.2,.2,.8),
+    k (.11,.11,.11), rough .15, remapRoughness=false) and
+    getPurplePlasticMaterial (ui/MaterialList.cpp:49-56: purple kd,
+    kr = 1-kd, rough .1, remap=true).  Box literals MUST match
+    tools/ref_oracle/oracle_main.cpp `metal`."""
+    b = SceneBuilder()
+    mats = reference_materials(b, sigma=0.0)
+    add_cornell(b, mats["red"], mats["blue"], mats["white"])
+    add_area_lights(b, mats["dragon"])
+    metal = b.add_metal((0.2, 0.2, 0.8), (0.11, 0.11, 0.11),
+                        roughness=0.15, remap_rough=0.0)
+    plastic = b.add_plastic((0.35, 0.12, 0.48), ks=(0.65, 0.88, 0.52),
+                            roughness=0.1)
+    for lo, hi, mat in (
+            ((-1.6, -2.5, -0.5), (-0.3, -1.1, 0.7), metal),
+            ((0.5, -2.5, -0.9), (1.8, -0.9, 0.4), plastic)):
+        v, f = _box_mesh(np.asarray(lo), np.asarray(hi))
+        b.add_mesh(v, f, mat)
+    scene = b.build()
+    cam = make_perspective_camera(width, height, eye=(0.0, 0.0, 5.0),
+                                  look=(0.0, 0.0, 0.0))
+    return scene, cam
+
+
 def cornell_homogeneous(width=500, height=500):
     """Parity twin of the oracle's `volpath` scene (BASELINE config 5,
     homogeneous tier): Cornell + area light + a null-material box holding

@@ -267,9 +267,27 @@ class SceneBuilder:
         return self.add_material(MAT_GLASS, kr=kr, kt=kt, eta=eta,
                                  rough_u=rough_u, rough_v=rough_v)
 
-    def add_metal(self, eta3, k3, roughness=0.01):
+    # Copper conductor spectrum, CIE-integrated to RGB.  The reference
+    # ships 56-sample measured copper n/k curves and a (commented-out)
+    # CreateMetalMaterial defaulting eta/k to them
+    # (/root/reference/materials/MetalMaterial.cpp:52-102); these are the
+    # standard RGBSpectrum conversions of that published data.
+    COPPER_ETA = (0.2004, 0.9240, 1.1022)
+    COPPER_K = (3.9129, 2.4528, 2.1421)
+
+    def add_metal(self, eta3=None, k3=None, roughness=0.01, remap_rough=1.0):
+        """MetalMaterial (materials/MetalMaterial.cpp:28-49): perfect
+        microfacet conductor.  eta3/k3 default to copper, matching the
+        reference's CreateMetalMaterial defaults; remap_rough mirrors its
+        remapRoughness flag (the app's own yellow-metal preset,
+        ui/MaterialList.cpp:58-69, passes false)."""
+        if eta3 is None:
+            eta3 = self.COPPER_ETA
+        if k3 is None:
+            k3 = self.COPPER_K
         return self.add_material(MAT_METAL, eta3=eta3, k3=k3,
-                                 rough_u=roughness, rough_v=roughness)
+                                 rough_u=roughness, rough_v=roughness,
+                                 remap_rough=remap_rough)
 
     def add_plastic(self, kd, ks=(1.0, 1.0, 1.0), roughness=0.1):
         return self.add_material(MAT_PLASTIC, kd=kd, ks=ks, rough_u=roughness,

@@ -146,3 +146,150 @@ class TestEWA:
             jnp.asarray([[0.5, 0.0]]), jnp.asarray([[0.0, 1e-5]]), window=8,
         ))
         assert np.isfinite(out).all()
+
+
+class TestWhittedSpecularDifferentials:
+    """Whitted propagates ray differentials through specular bounces
+    (core/Integrator.cpp:336-442; VERDICT r3 missing #6).  For a PLANAR
+    mirror the update is algebraically exact: the propagated aux ray must
+    equal the geometric reflection of the original aux ray."""
+
+    def _mirror_setup(self, n=64, seed=3):
+        rng = np.random.default_rng(seed)
+        # plane z=0 with normal +z; incoming rays from above
+        o = rng.uniform([-1, -1, 1.0], [1, 1, 2.0], (n, 3)).astype(np.float32)
+        d = rng.uniform([-0.3, -0.3, -1.0], [0.3, 0.3, -0.5], (n, 3))
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        ns = np.tile(np.float32([0, 0, 1]), (n, 1))
+        # aux rays: small perturbation of origin + direction
+        rxo = o + rng.normal(0, 1e-3, (n, 3)).astype(np.float32)
+        rxd = d + rng.normal(0, 1e-3, (n, 3)).astype(np.float32)
+        return o, d, ns, rxo, rxd
+
+    def test_reflect_matches_geometric(self):
+        from gnxraytracer_tpu.models.integrators import whitted
+
+        o, d, ns, rxo, rxd = self._mirror_setup()
+        t = -o[:, 2] / d[:, 2]
+        p = o + t[:, None] * d
+        # aux ray's own plane hit + mirror reflection = ground truth
+        tx = -rxo[:, 2] / rxd[:, 2]
+        px = rxo + tx[:, None] * rxd
+        rxd_true = rxd - 2 * (rxd * ns).sum(-1, keepdims=True) * ns
+
+        wi = d - 2 * (d * ns).sum(-1, keepdims=True) * ns
+
+        class It:
+            pass
+
+        it = It()
+        it.p, it.ns = jnp.asarray(p), jnp.asarray(ns)
+        rd = cam.RayDifferentials(jnp.asarray(rxo), jnp.asarray(rxd),
+                                  jnp.asarray(rxo), jnp.asarray(rxd))
+        dpdx = jnp.asarray(px - p)
+        out = whitted._specular_diff_update(
+            it, jnp.asarray(d), rd, jnp.asarray(wi),
+            jnp.zeros(len(p), bool), jnp.full((len(p),), 1.5, jnp.float32),
+            dpdx, dpdx)
+        np.testing.assert_allclose(np.asarray(out.rx_o), px, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.rx_d), rxd_true, rtol=1e-3,
+                                   atol=1e-5)
+
+    def test_transmit_first_order_matches_refract(self):
+        """Flat dielectric interface: the propagated transmit differential
+        must match the true refracted aux direction to first order in the
+        offset (the update is d(refract)/dx evaluated at the main ray)."""
+        from gnxraytracer_tpu.models.integrators import whitted
+
+        o, d, ns, rxo, _ = self._mirror_setup()
+        eps = 1e-4
+        rng = np.random.default_rng(9)
+        dd = rng.normal(0, 1.0, d.shape).astype(np.float32)
+        # the pbrt derivation models a DIRECTION differential (rotation of
+        # the unit wo), not a norm change — perturb orthogonally to d
+        dd = dd - d * (dd * d).sum(-1, keepdims=True)
+        rxd = d + eps * dd
+        t = -o[:, 2] / d[:, 2]
+        p = o + t[:, None] * d
+
+        def refract(v, eta):
+            # v points toward the surface (entering from +z side, n=+z)
+            v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+            ci = -(v * ns).sum(-1)  # cos(theta_i) > 0
+            s2 = eta * eta * np.maximum(0.0, 1 - ci * ci)
+            ct = np.sqrt(np.maximum(0.0, 1 - s2))
+            return eta * v + (eta * ci - ct)[:, None] * ns
+
+        eta_mat = 1.5
+        eta = 1.0 / eta_mat  # entering
+        wi = refract(d, eta).astype(np.float32)
+        wt_true = refract(rxd, eta)
+
+        class It:
+            pass
+
+        it = It()
+        it.p, it.ns = jnp.asarray(p), jnp.asarray(ns)
+        rd = cam.RayDifferentials(jnp.asarray(rxo), jnp.asarray(rxd),
+                                  jnp.asarray(rxo), jnp.asarray(rxd))
+        out = whitted._specular_diff_update(
+            it, jnp.asarray(d), rd, jnp.asarray(wi),
+            jnp.ones(len(p), bool), jnp.full((len(p),), eta_mat, jnp.float32),
+            jnp.zeros_like(it.p), jnp.zeros_like(it.p))
+        got = np.asarray(out.rx_d)
+        # first-order: |got - refract(aux)| = O(eps^2) << |refract(aux)-wi|
+        # = O(eps)
+        err = np.linalg.norm(got - wt_true, axis=-1)
+        base = np.linalg.norm(wt_true - wi, axis=-1)
+        keep = base > 1e-6
+        assert np.median(err[keep] / base[keep]) < 0.05
+
+    def test_whitted_textured_mirror_renders_filtered(self):
+        """Integration: textured floor seen through a mirror — the
+        trilinear-filtered whitted render must be finite and differ from
+        the bilinear one (proving the footprint survives the specular
+        bounce), while agreeing in overall mean."""
+        import jax
+
+        from gnxraytracer_tpu.models.integrators import path, whitted
+        from gnxraytracer_tpu.ops import samplers
+        from gnxraytracer_tpu.scene.presets import (SceneBuilder, _box_mesh,
+                                                    make_perspective_camera)
+
+        w = h = 48
+        rng = np.random.default_rng(0)
+        texture = rng.uniform(0.1, 0.9, (64, 64, 3)).astype(np.float32)
+
+        def build(filt):
+            b = SceneBuilder()
+            tid = b.add_texture(texture)
+            floor = b.add_matte((1, 1, 1), kd_tex=tid)
+            mirror = b.add_mirror((0.9, 0.9, 0.9))
+            g = 4.0
+            vf = np.float32([[-g, -1, g], [g, -1, g], [-g, -1, -g],
+                             [g, -1, g], [g, -1, -g], [-g, -1, -g]])
+            tf = np.arange(6, dtype=np.int32).reshape(2, 3)
+            uv = np.float32([[0, 0], [8, 0], [0, 8], [8, 0], [8, 8], [0, 8]])
+            b.add_mesh(vf, tf, floor, uvs=uv)
+            vm, tm = _box_mesh(np.float32([-2, -1, -3]),
+                               np.float32([2, 2, -2.8]))
+            b.add_mesh(vm, tm, mirror)
+            b.add_point_light((0.0, 3.0, 3.0), (40.0, 40.0, 40.0))
+            scene = b.build()
+            cam_ = make_perspective_camera(w, h, eye=(0.0, 0.5, 4.0),
+                                           look=(0.0, 0.0, -3.0))
+            cfg = path.make_config(scene, w, h, spp=4, max_depth=4,
+                                   spp_chunk=4, texture_filter=filt)
+            return scene, cam_, cfg
+
+        imgs = {}
+        for filt in ("bilinear", "trilinear"):
+            scene, cam_, cfg = build(filt)
+            smp = samplers.make_halton_sampler(4, w, h)
+            img = whitted._render_chunk_jit(scene, cam_, smp, cfg, 0, 4)
+            imgs[filt] = np.asarray(img).reshape(h, w, 3) / 4
+        a, b_ = imgs["bilinear"], imgs["trilinear"]
+        assert np.isfinite(a).all() and np.isfinite(b_).all()
+        assert not np.allclose(a, b_)  # filtering engaged somewhere
+        assert abs(a.mean() - b_.mean()) / a.mean() < 0.05

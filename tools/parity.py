@@ -59,6 +59,11 @@ CONFIGS = {
     # from density_render.70.volume (delta tracking + ratio-tracking Tr)
     "ref_gridvol": _cfg(64, 64, 2048, "volpath", 8, 0.0, "uniform", 0,
                         scene="gridvol"),
+    # round-4 (VERDICT r3 missing #6): the reference app's own Metal +
+    # Plastic presets (ui/MaterialList.cpp:49-69) — the two material
+    # families no oracle scene exercised
+    "ref_metal_cornell": _cfg(64, 64, 2048, "path", 8, 0.0, "uniform", 0,
+                              scene="metal"),
 }
 
 # FD gradient goldens (VERDICT item 3): central differences of the oracle's
@@ -234,6 +239,8 @@ def build_our_scene(meta):
         return presets.cornell_homogeneous(w, h)
     if scene_name == "gridvol":
         return presets.cornell_gridvol(w, h)
+    if scene_name == "metal":
+        return presets.cornell_metal(w, h)
     if scene_name == "envmesh":
         scene, cam, _mesh = presets.envmap_mesh_parity(
             w, h, n_seg=BLOB_SEG, sigma=meta["sigma"])

@@ -56,6 +56,8 @@
 #include "materials/MirrorMaterial.h"
 #include "materials/GlassMaterial.h"
 #include "materials/DisneyMaterial.h"
+#include "materials/MetalMaterial.h"
+#include "materials/PlasticMaterial.h"
 #include "textures/ConstantTexture.h"
 #include "textures/ImageTexture.h"
 #include "lights/DiffuseAreaLight.h"
@@ -260,9 +262,27 @@ int main(int argc, char **argv) {
     std::shared_ptr<Medium> keepMedium;  // scene-lifetime medium
 
     if (sceneName == "cornell" || sceneName == "gmd" ||
-        sceneName == "volpath" || sceneName == "gridvol") {
+        sceneName == "volpath" || sceneName == "gridvol" ||
+        sceneName == "metal") {
         addCornell(prims, red, blue, white);
         addAreaLight(prims, lights, dragon, Le);
+    }
+
+    if (sceneName == "metal") {
+        // Metal + Plastic boxes: the reference app's OWN presets —
+        // getYelloMetalMaterial (ui/MaterialList.cpp:58-69: eta
+        // (.2,.2,.8), k (.11,.11,.11), rough .15, remap=false) and
+        // getPurplePlasticMaterial (ui/MaterialList.cpp:49-56: kd purple,
+        // kr = 1-purple, rough .1, remap=true).  Mirrored in
+        // gnxraytracer_tpu/scene/presets.cornell_metal.
+        auto metal = std::make_shared<MetalMaterial>(
+            stex(0.2f, 0.2f, 0.8f), stex(0.11f, 0.11f, 0.11f), ftex(0.15f),
+            ftex(0.15f), ftex(0.15f), ftex(0.f), false);
+        auto plastic = std::make_shared<PlasticMaterial>(
+            stex(0.35f, 0.12f, 0.48f), stex(0.65f, 0.88f, 0.52f),
+            ftex(0.1f), ftex(0.f), true);
+        addBox(prims, {-1.6f, -2.5f, -0.5f}, {-0.3f, -1.1f, 0.7f}, metal);
+        addBox(prims, {0.5f, -2.5f, -0.9f}, {1.8f, -0.9f, 0.4f}, plastic);
     }
 
     if (sceneName == "gmd") {
