@@ -190,8 +190,15 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d, rd=None):
             L = L + jnp.where((can & ~occ)[..., None], contrib, 0.0)
 
         if not (has_specular and b + 1 < cfg.max_depth):
-            return dict(o=state["o"], d=state["d"], beta=state["beta"],
-                        L=L, alive=jnp.zeros_like(alive))
+            out = dict(o=state["o"], d=state["d"], beta=state["beta"],
+                       L=L, alive=jnp.zeros_like(alive))
+            if filtered_tex:
+                # carry the differential keys so the state dict keeps a
+                # constant schema even if a future change lets the loop
+                # continue past this depth (ADVICE r4 item 3)
+                out.update(rxo=state["rxo"], rxd=state["rxd"],
+                           ryo=state["ryo"], ryd=state["ryd"])
+            return out
 
         # specular continuation (SpecularReflect/Transmit)
         u_s = jnp.stack([dim_col(base + 2 * cfg.n_lights),
@@ -211,10 +218,11 @@ def trace_paths(scene, cfg: RenderCfg, sampler, pixel, sample, o, d, rd=None):
             alive=continue_spec,
         )
         if filtered_tex:
-            # a transmit sample flips wi to wo's opposite hemisphere in
-            # the shading frame; that selects the Integrator.cpp:381-440
-            # transmit update, else the :342-353 reflect update
-            is_transmit = (smp.wi[..., 2] * wo_local[..., 2]) < 0
+            # the sampled lobe's own transmission flag selects the
+            # Integrator.cpp:381-440 transmit update vs the :342-353
+            # reflect update (robust to transmissive lobes that don't
+            # flip shading-frame hemispheres; ADVICE r4 item 4)
+            is_transmit = smp.transmission
             new_rd = _specular_diff_update(it, state["d"], cur_rd, wi_world,
                                            is_transmit, mats_row.eta,
                                            dpdx, dpdy)
@@ -290,7 +298,10 @@ def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
     single-branch estimator.  Each tree node consumes its own sampler
     dimension block so per-sample values are branch-history-deterministic
     (the property config-1/2 per-sample parity runs need).  Cost grows as
-    2^depth; intended for parity/golden runs at Whitted's small depths."""
+    2^depth; intended for parity/golden runs at Whitted's small depths.
+    Textured kd is resolved UNFILTERED (bilinear, no ray differentials) —
+    faithful mode carries no differential state; use the default wavefront
+    path for filtered-texture scenes (ADVICE r4 item 2)."""
     n = o.shape[0]
     dims_per_depth = 2 * cfg.n_lights + 2
     max_nodes = 2 ** cfg.max_depth - 1
@@ -318,6 +329,11 @@ def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             L = L + jnp.where(esc[..., None], le_inf, 0.0)
         alive = active & hit.hit
         wo_local = trace.to_local(it, it.wo)
+        kd_ov = None
+        if cfg.has_textures:
+            mats_row = mat_mod.gather_material_table(scene.materials,
+                                                     jnp.maximum(it.mat, 0))
+            kd_ov = mat_mod.resolve_kd(scene, cfg, None, it.uv, mats=mats_row)
         ub = jax.lax.dynamic_slice(U, (jnp.int32(0), base),
                                    (n, dims_per_depth))
         for li_idx in range(cfg.n_lights):
@@ -326,7 +342,7 @@ def trace_paths_faithful(scene, cfg: RenderCfg, sampler, pixel, sample, o, d):
             ls = lights_mod.sample_li(scene, cfg, lidx, it.p, u_l)
             wi_local = trace.to_local(it, ls.wi)
             f, _pdf = mat_mod.evaluate(scene.materials, it.mat, cfg,
-                                       wo_local, wi_local)
+                                       wo_local, wi_local, kd_override=kd_ov)
             f = f * absdot(ls.wi, it.ns)[..., None]
             can = alive & (ls.pdf > 0) & jnp.any(ls.li > 0, -1) & jnp.any(f > 0, -1)
             so, sd, st = trace.shadow_ray(it, ls.target, ls.is_infinite)
@@ -356,13 +372,16 @@ def render_chunk(scene, camera, sampler, cfg: RenderCfg, sample_start, n_samples
         sampler, pixel, sample, cfg.width, cfg.pixel_filter,
         cfg.filter_radius, cfg.filter_alpha)
     rd = None
-    if cfg.has_textures and cfg.texture_filter != "bilinear":
+    faithful = getattr(cfg, "whitted_faithful", False)
+    # faithful mode has no differential plumbing — skip generating them
+    # (ADVICE r4 item 2)
+    if cfg.has_textures and cfg.texture_filter != "bilinear" and not faithful:
         o, d, _t, rd = cam_mod.generate_ray_differentials(
             camera, p_film, t_u, l_u)
         rd = cam_mod.scale_differentials(o, d, rd, 1.0 / (cfg.spp ** 0.5))
     else:
         o, d, _ = cam_mod.generate_rays(camera, p_film, t_u, l_u)
-    if getattr(cfg, "whitted_faithful", False):
+    if faithful:
         L = trace_paths_faithful(scene, cfg, sampler, pixel, sample, o, d)
     else:
         L = trace_paths(scene, cfg, sampler, pixel, sample, o, d, rd=rd)
