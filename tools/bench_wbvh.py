@@ -92,7 +92,7 @@ def main():
     bvh = scene.bvh
     print(f"mesh: {scene.geom.triangles.shape[0]} tris; "
           f"binary treelets: {None if bvh.treelets is None else bvh.treelets.nodes.shape}; "
-          f"wide treelets: {bvh.wtreelets.wbounds.shape}", flush=True)
+          f"wide treelets: {bvh.wtreelets.rec.shape}", flush=True)
 
     from gnxraytracer_tpu.ops.bvh import ray_sort_perm
 

@@ -1,15 +1,12 @@
-"""Round-5 mesh-chunk profile: where do the 734 ms/chunk go NOW?
+"""Round-5 profile, part 2: isolated casts at pipeline widths, camera
+cast, in-kernel round counters, and the sub=32 sweep cells the first run
+timed out before reaching.
 
-Times the exact bench_mesh config (pipeline_casts + compact_stages) per
-max_depth, then isolates the wide-kernel casts (camera / bounce closest,
-anyhit) and reads the kernel's debug round counters.
-
-    python tools/profile_r5.py
+    python tools/exp_r5b.py
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,57 +21,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 import numpy as np
 
-from gnxraytracer_tpu.models.integrators import path
 from gnxraytracer_tpu.ops import pallas_wbvh as wb
-from gnxraytracer_tpu.ops import samplers
 from gnxraytracer_tpu.scene import presets
 from tools.bench_wbvh import make_bounce_rays, make_rays
-
-W = H = 500
-CHUNK = 4
-
-
-def timed(name, fn, *args, reps=3):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = fn(*args)
-        jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
-        ts.append(time.time() - t0)
-    print(f"{name:44s} {min(ts)*1000:9.1f} ms", flush=True)
-    return min(ts)
+from tools.profile_r5 import timed
 
 
 def main():
-    scene, camera = presets.envmap_mesh(W, H)
-    sampler = samplers.make_sobol_sampler(64)
-
-    def cfg_for(depth):
-        stages = tuple((b, f) for (b, f) in ((0, 2), (1, 16), (2, 32), (4, 64))
-                       if b < max(depth, 1))
-        return path.make_config(scene, W, H, spp=64, max_depth=depth,
-                                spp_chunk=CHUNK, rr_threshold=1.0,
-                                fast_mis=True, compact_tail=True,
-                                pipeline_casts=True,
-                                compact_stages=stages,
-                                count_rays=True)
-
-    prev = 0.0
-    for depth in (0, 1, 2, 3, 4, 8):
-        cfg = cfg_for(depth)
-        t = timed(f"chunk max_depth={depth}",
-                  lambda cfg=cfg: path._render_chunk_jit(
-                      scene, camera, sampler, cfg, 0, CHUNK)[0])
-        if depth:
-            print(f"   marginal vs prev: {1000*(t-prev):9.1f} ms",
-                  flush=True)
-        prev = t
+    rs = np.random.RandomState(0)
+    scene, camera = presets.envmap_mesh(500, 500)
+    bvh = scene.bvh
 
     # isolated casts at the widths the pipelined chunk actually runs
-    rs = np.random.RandomState(0)
-    bvh = scene.bvh
     for n in (1_000_000, 500_000, 62_500):
         o, d = make_bounce_rays(scene, n, rs)
         tmax = jnp.full((n,), 1e30, jnp.float32)
@@ -90,19 +48,38 @@ def main():
     timed("camera closest n=1M",
           jax.jit(lambda: wb.wide_closest_hit_pallas(bvh, o, d, tmax)))
 
-    # debug round counters on a sorted 1M bounce cast
+    # sub=32 sweep cells
     o, d = make_bounce_rays(scene, n, rs)
+    for wp_, wlq_, sub_ in ((8, 8, 32), (16, 16, 32), (8, 8, 8)):
+        os.environ["GNX_WBVH_WP"] = str(wp_)
+        os.environ["GNX_WBVH_WLQ"] = str(wlq_)
+        os.environ["GNX_WBVH_SUB"] = str(sub_)
+        try:
+            timed(f"bounce closest wp{wp_} wlq{wlq_} sub{sub_}",
+                  jax.jit(lambda: wb.wide_closest_hit_pallas(bvh, o, d, tmax)))
+            timed(f"bounce anyhit  wp{wp_} wlq{wlq_} sub{sub_}",
+                  jax.jit(lambda: wb.wide_any_hit_pallas(bvh, o, d, 100.0)))
+        except Exception as e:
+            print(f"  wp{wp_} wlq{wlq_} sub{sub_}: {type(e).__name__} "
+                  f"{str(e)[:120]}", flush=True)
+    for k in ("GNX_WBVH_WP", "GNX_WBVH_WLQ", "GNX_WBVH_SUB"):
+        os.environ.pop(k, None)
+
+    # debug round counters on a sorted 1M bounce cast
     from gnxraytracer_tpu.ops.bvh import ray_sort_perm
     perm, _inv = ray_sort_perm(o, d, bvh.bounds_lo[0], bvh.bounds_hi[0],
-                               t_max=jnp.full((n,), 1e30), key_mode="oct_morton")
+                               t_max=jnp.full((n,), 1e30),
+                               key_mode="oct_morton")
     o_s, d_s = o[perm], d[perm]
     tl = bvh.wtreelets
-    k_t = tl.rec.shape[0]
+    wbs, wts = wb._tl_tables(tl, True)
+    k_t = tl.wbounds.shape[0]
     tot_r = np.zeros(0)
     for kk in range(k_t):
         t, tri, u, v = wb.wide_closest_hit(
-            tl.rec[kk], tl.frame[kk], tl.leafs[kk], tl.tid[kk],
-            o_s, d_s, jnp.full((n,), 1e30), interpret=False, debug=True)
+            wbs[kk], wts[kk], tl.worder[kk], tl.leafs[kk], tl.tid[kk],
+            o_s, d_s, jnp.full((n,), 1e30), interpret=False,
+            quant=True, debug=True)
         blk = wb.SUB * wb.LANE
         rounds = np.asarray(u)[::blk]
         noder = np.asarray(v)[::blk]
