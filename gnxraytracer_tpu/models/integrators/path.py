@@ -577,8 +577,18 @@ def _fast_parts(scene, cfg: RenderCfg, get_ub, n, rd=None):
                               state["beta"] * le * w[..., None], 0.0)
         if cfg.has_skybox or cfg.has_env:
             esc = state["alive"] & ~hit.hit
-            le_inf = lights_mod.escaped_radiance(scene, cfg, state["o"], state["d"])
-            if cfg.has_env:
+            if cfg.has_env and not cfg.has_skybox:
+                # fused Le + Pdf_Li: one packed gather + one trig pass
+                # (round 5; see lights.envmap_le_pdf)
+                le_inf, env_pdf = lights_mod.envmap_le_pdf(scene,
+                                                           state["d"])
+                w = jnp.where(
+                    state["specular"], 1.0,
+                    power_heuristic(1.0, state["prev_pdf"], 1.0, env_pdf),
+                )
+            elif cfg.has_env:
+                le_inf = lights_mod.escaped_radiance(scene, cfg,
+                                                     state["o"], state["d"])
                 # MIS against env importance sampling
                 env_rows = scene.lights.kind == 4
                 env_idx = jnp.argmax(env_rows).astype(jnp.int32)
@@ -595,6 +605,8 @@ def _fast_parts(scene, cfg: RenderCfg, get_ub, n, rd=None):
                 # The skybox therefore only ever reaches the image through
                 # the bounce-0/specular escape path — weight 0 on
                 # non-specular escapes, exactly like the reference.
+                le_inf = lights_mod.escaped_radiance(scene, cfg,
+                                                     state["o"], state["d"])
                 w = jnp.where(state["specular"], 1.0, 0.0)
             L = L + jnp.where(esc[..., None],
                               state["beta"] * le_inf * w[..., None], 0.0)

@@ -153,6 +153,28 @@ def envmap_le(scene: Scene, d):
     return env.image[iv, iu]
 
 
+def envmap_le_pdf(scene: Scene, d):
+    """Fused InfiniteAreaLight::Le + Pdf_Li for one direction
+    (InfiniteAreaLight.cpp:91-96 + 123-136): ONE (N, 4) gather from the
+    packed [rgb, func/marg_int] table and one spherical-trig pass serve
+    both — the escaped-ray MIS path previously paid two separate texel
+    gathers plus a duplicated world->light transform per lane per bounce
+    (measured ~35% of the mesh bench chunk, tools/exp_r5_shading)."""
+    env = scene.env
+    w = normalize(d @ env.world_to_light[:3, :3].T)
+    theta = spherical_theta(w)
+    u = spherical_phi(w) * INV_2PI
+    v = theta * INV_PI
+    h, wd = env.image.shape[:2]
+    iu = jnp.clip((u * wd).astype(jnp.int32), 0, wd - 1)
+    iv = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    row = env.le_func[iv, iu]
+    st = jnp.sin(theta)
+    pdf = jnp.where(st > 0, row[..., 3]
+                    / (2.0 * PI * PI * jnp.maximum(st, 1e-8)), 0.0)
+    return row[..., 0:3], pdf
+
+
 def escaped_radiance(scene: Scene, cfg, o, d):
     """Sum of infinite-light Le for escaped rays (PathIntegrator.cpp:107-110)."""
     le = jnp.zeros_like(d)
@@ -265,22 +287,24 @@ def sample_li(scene: Scene, cfg, light_idx, p, u2):
         # 2D CDF importance sample -> (theta, phi), pdf / (2 pi^2 sin)
         m = kind == LIGHT_INFINITE
         env = scene.env
-        from ..ops.sampling import Distribution2D
+        from ..ops.sampling import Distribution2D, sample_continuous_2d_idx
 
         dist2 = Distribution2D(env.cond_func, env.cond_cdf, env.cond_int,
                                env.marg_cdf, env.marg_int,
                                getattr(env, "cond_inv", None))
-        uv, map_pdf = sample_continuous_2d(dist2, u2)
+        # the sampled integer texel serves radiance AND the map pdf from
+        # ONE packed-row gather (le_func[..., 3] == func/marg_int ==
+        # exactly sample_continuous_2d's pdf0*pdf1; round 5)
+        uv, iv, iu = sample_continuous_2d_idx(dist2, u2)
+        row = env.le_func[iv, iu]
+        map_pdf = row[..., 3]
+        li_env = row[..., 0:3]
         theta = uv[..., 1] * PI
         phi = uv[..., 0] * 2.0 * PI
         st, ct = jnp.sin(theta), jnp.cos(theta)
         w_light = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
         w = w_light @ env.light_to_world[:3, :3].T
         pdf_env = jnp.where(st > 0, map_pdf / (2.0 * PI * PI * jnp.maximum(st, 1e-8)), 0.0)
-        h, wd = env.image.shape[:2]
-        iu = jnp.clip((uv[..., 0] * wd).astype(jnp.int32), 0, wd - 1)
-        iv = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        li_env = env.image[iv, iu]
         wi = jnp.where(m[..., None], w, wi)
         pdf = jnp.where(m, pdf_env, pdf)
         li = jnp.where(m[..., None], li_env, li)

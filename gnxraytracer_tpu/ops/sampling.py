@@ -306,8 +306,12 @@ def _row_searchsorted(cdf2d, rows, u, inv=None):
     return lo
 
 
-def sample_continuous_2d(dist: Distribution2D, u):
-    """u: (..., 2) -> ((..., 2) point in [0,1)^2, pdf)."""
+def sample_continuous_2d_idx(dist: Distribution2D, u):
+    """u: (..., 2) -> ((..., 2) point in [0,1)^2, iv, iu) WITHOUT the pdf
+    func gather: the sampled integer texel (iv, iu) lets callers holding
+    a packed [payload, func/marg_int] table serve the pdf AND their
+    payload (e.g. env radiance) from ONE per-lane row gather
+    (models/lights.sample_li round 5)."""
     h, w = dist.shape
     marg = Distribution1D(dist.cond_int, dist.marg_cdf, dist.marg_int)
     d1, pdf1, v_idx = sample_continuous_1d(marg, u[..., 1])
@@ -320,13 +324,22 @@ def sample_continuous_2d(dist: Distribution2D, u):
     base = v_idx.astype(jnp.int32) * w1
     c_lo = cdf_flat[base + idx]
     c_hi = cdf_flat[base + idx + 1]
-    cond_int = dist.cond_int[v_idx]
     width = c_hi - c_lo
     du = jnp.where(width > 0.0, (u0 - c_lo) / jnp.where(width > 0.0, width, 1.0), u0 - c_lo)
-    f = dist.cond_func.reshape(-1)[v_idx.astype(jnp.int32) * w + idx]
-    pdf0 = jnp.where(cond_int > 0.0, f / jnp.where(cond_int > 0.0, cond_int, 1.0), 0.0)
     d0 = (idx.astype(jnp.float32) + du) / w
-    return jnp.stack([d0, d1], axis=-1), pdf0 * pdf1
+    return jnp.stack([d0, d1], axis=-1), v_idx.astype(jnp.int32), idx
+
+
+def sample_continuous_2d(dist: Distribution2D, u):
+    """u: (..., 2) -> ((..., 2) point in [0,1)^2, pdf)."""
+    h, w = dist.shape
+    p, v_idx, idx = sample_continuous_2d_idx(dist, u)
+    cond_int = dist.cond_int[v_idx]
+    f = dist.cond_func.reshape(-1)[v_idx * w + idx]
+    pdf0 = jnp.where(cond_int > 0.0, f / jnp.where(cond_int > 0.0, cond_int, 1.0), 0.0)
+    # pdf1 = cond_int / marg_int (sample_continuous_1d's marginal pdf)
+    pdf1 = jnp.where(dist.marg_int > 0.0, cond_int / dist.marg_int, 0.0)
+    return p, pdf0 * pdf1
 
 
 def pdf_2d(dist: Distribution2D, p):

@@ -143,6 +143,11 @@ class EnvMap(NamedTuple):
     # bounds the per-lane sampling bisection to 4 gathers; see
     # ops/sampling._build_row_inverse)
     cond_inv: jnp.ndarray = None
+    # (H, W, 4) [r, g, b, cond_func/marg_int] packed so the escaped-ray
+    # MIS path fetches Le AND the map pdf numerator with ONE per-lane
+    # gather (round 5: the two separate gathers + duplicated spherical
+    # trig were ~35% of the mesh chunk; models/lights.envmap_le_pdf)
+    le_func: jnp.ndarray = None
 
 
 class Scene(NamedTuple):
@@ -497,6 +502,10 @@ class SceneBuilder:
             lum = img @ np.asarray([0.212671, 0.715160, 0.072169], np.float32)
             sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h).astype(np.float32)
             d2 = make_distribution2d(jnp.asarray(lum * sin_theta[:, None]))
+            lf = np.concatenate(
+                [np.asarray(img, np.float32),
+                 (np.asarray(d2.cond_func, np.float32)
+                  / max(float(d2.marg_int), 1e-20))[..., None]], axis=-1)
             env = EnvMap(
                 image=jnp.asarray(img),
                 cond_func=d2.cond_func, cond_cdf=d2.cond_cdf, cond_int=d2.cond_int,
@@ -504,6 +513,7 @@ class SceneBuilder:
                 world_to_light=jnp.asarray(np.linalg.inv(l2w).astype(np.float32)),
                 light_to_world=jnp.asarray(np.asarray(l2w, np.float32)),
                 cond_inv=d2.cond_inv,
+                le_func=jnp.asarray(lf),
             )
 
         textures = None
