@@ -61,7 +61,8 @@ class BVH(NamedTuple):
     # whose global tables exceed VMEM (ops/pallas_bvh.TreeletPack; built
     # only when the mesh is over pallas_bvh.PALLAS_MAX_TRIS)
     treelets: object = None
-    # Wide (BVH4) treelet tables for the round-4 scalar-stack packet kernel
+    # Wide (BVH8 default; 4/16 via GNX_WBVH_W) treelet tables for the
+    # scalar-stack packet kernel
     # (ops/pallas_wbvh.WideTreeletPack; built for every SAH tree — K=1 for
     # small meshes)
     wtreelets: object = None

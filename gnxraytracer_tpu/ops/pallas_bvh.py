@@ -40,7 +40,7 @@ SMEM tops out at ~4-8 KB on v5e, both measured, PERF.md r3).
 
 Compiled and benchmarked on real TPU (v5e) — production
 scene_intersect/scene_occluded dispatch here when bvh_mode == "pallas".
-With the round-4 wide (BVH4) scalar-stack kernel (see wbvh section
+With the wide (BVH4/8/16, round-5 folded-record) scalar-stack kernel (see wbvh section
 below), the quantized child records, and the pipelined/compacted
 wavefront, the 105k-tri BASELINE config-4 bench runs at ~11.7 s /
 64 spp / 500^2 = 1.36 Mpaths/s — 1.34x the 2-core CPU reference
@@ -681,11 +681,11 @@ def packet_any_hit(nodes, meta8, leafs, tid, o, d, t_max, *, interpret=True):
 
 
 def _use_wide(bvh):
-    """Round-4 wide (BVH4) scalar-stack kernel (ops/pallas_wbvh): the
+    """Wide (BVH8 default) scalar-stack kernel (ops/pallas_wbvh): the
     production default whenever the build carried wide treelet tables —
     measured 1.4-2.6x the binary threaded walk across the config-4
-    workloads (PERF.md r4).  GNX_WIDE_BVH=0 falls back to the binary
-    kernel."""
+    workloads (PERF.md r4; round-5 folded record + width sweep).
+    GNX_WIDE_BVH=0 falls back to the binary kernel."""
     import os
 
     return (getattr(bvh, "wtreelets", None) is not None
