@@ -131,6 +131,13 @@ def insert_params(scene, p):
     env = scene.env
     if env is not None and "env_image" in p:
         env = env._replace(image=p["env_image"])
+        if env.le_func is not None:
+            # the packed [rgb, func/marg_int] table (round 5) must track
+            # the injected texels so env-radiance reads stay attached to
+            # the param; channel 3 (the sampling pdf) is a build-time
+            # constant by design — the CDFs it must match are fixed
+            env = env._replace(le_func=jnp.concatenate(
+                [p["env_image"], env.le_func[..., 3:]], axis=-1))
     media = scene.media
     if media is not None and "med_sigma_a" in p:
         media = media._replace(sigma_a=p["med_sigma_a"],
