@@ -16,3 +16,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_slow(request):
+    """Release compiled executables after each slow-tier test.
+
+    The slow tier compiles ~16 large distinct graphs (full renders +
+    gradient transposes) in one process; on a small-RAM host the XLA CPU
+    compiler's cumulative footprint eventually segfaults mid-compile
+    (observed twice at the 13th slow test, which passes alone).  Slow
+    tests don't share jit graphs, so dropping the cache between them
+    costs nothing and bounds peak memory."""
+    yield
+    if request.node.get_closest_marker("slow") is not None:
+        jax.clear_caches()
